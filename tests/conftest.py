@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-virtual-device CPU mesh before jax imports.
+
+This is the standard JAX trick for testing pjit/shard_map sharding logic on a
+single host (SURVEY.md §4 "Distributed without a cluster"). Must run before
+any `import jax` in the test process, hence env mutation at conftest import.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,45 @@
+"""Configuration dataclasses.
+
+Parity target: ``NFAI.Models/ModelOptions.cs`` (GGUFPath + KVCacheSize=512) and
+the hardcoded sampling defaults in ``SamplingUtils.cs:5`` (temperature 0.5,
+top-k 40, top-p 0.95) — here everything is explicit and overridable.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Sampling configuration (reference defaults: SamplingUtils.cs:5-33)."""
+
+    temperature: float = 0.5
+    top_k: int = 40
+    top_p: float = 0.95
+    seed: int | None = None
+    max_new_tokens: int = 512
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Engine/runtime configuration.
+
+    `max_seq_len` mirrors the reference's KVCacheSize (default 512,
+    ModelOptions.cs:7) but is a real ring-free bound: generation stops at it
+    instead of silently overflowing (quirk ledger, SURVEY.md §7).
+    """
+
+    gguf_path: str = ""
+    max_seq_len: int = 512
+    max_batch_size: int = 1
+    dtype: str = "bfloat16"  # activation dtype on TPU
+    param_dtype: str = "auto"  # "auto" = keep quantized / native dtype
+    page_size: int = 128  # KV cache page granularity
+    prefill_chunk: int = 256  # prompt chunking bucket for jit shape stability
+    # mesh: axis name -> size; empty = single device
+    mesh_shape: dict[str, int] = field(default_factory=dict)
+    system_prompt: str = "You are a helpful assistant."

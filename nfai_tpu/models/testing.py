@@ -1,0 +1,106 @@
+"""Synthetic tiny-Llama GGUF fixtures for tests, benchmarks, and smoke drives.
+
+The reference had no fixtures at all (SURVEY.md §4); these fabricate fully
+valid GGUF checkpoints (weights + tokenizer metadata) at arbitrary sizes and
+quantizations through the public writer.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..gguf import GGMLType, GGUFWriter
+from ..gguf.constants import Keys
+from ..tokenizer.bpe import TokenType, bytes_to_unicode
+
+
+def tiny_tokenizer_metadata() -> dict:
+    """A byte-level vocab (256 byte tokens + llama-3 specials), no merges.
+
+    Every string tokenizes (one token per byte), so chat smoke tests work
+    without a trained merge table.
+    """
+    b2u = bytes_to_unicode()
+    tokens = [b2u[b] for b in range(256)]
+    types = [TokenType.NORMAL] * 256
+    specials = [
+        "<|begin_of_text|>",
+        "<|end_of_text|>",
+        "<|start_header_id|>",
+        "<|end_header_id|>",
+        "<|eot_id|>",
+    ]
+    for s in specials:
+        tokens.append(s)
+        types.append(TokenType.CONTROL)
+    return {
+        Keys.TOKENIZER_MODEL: "gpt2",
+        Keys.TOKENIZER_PRE: "llama-bpe",
+        Keys.TOKENIZER_TOKENS: tokens,
+        Keys.TOKENIZER_TOKEN_TYPE: types,
+        Keys.TOKENIZER_MERGES: [],
+        Keys.TOKENIZER_BOS: tokens.index("<|begin_of_text|>"),
+        Keys.TOKENIZER_EOS: tokens.index("<|eot_id|>"),
+    }
+
+
+def make_tiny_llama_gguf(
+    path: str | Path,
+    *,
+    vocab_size: int | None = None,
+    hidden: int = 64,
+    n_layers: int = 2,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    ffn_dim: int = 128,
+    context_length: int = 256,
+    rope_base: float = 10000.0,
+    quant: GGMLType = GGMLType.F32,
+    tied: bool = True,
+    seed: int = 0,
+    scale: float = 0.05,
+) -> Path:
+    """Write a random-weight Llama GGUF; returns the path."""
+    rng = np.random.default_rng(seed)
+    tok_md = tiny_tokenizer_metadata()
+    if vocab_size is None:
+        vocab_size = len(tok_md[Keys.TOKENIZER_TOKENS])
+    head_dim = hidden // n_heads
+
+    w = GGUFWriter()
+    w.add(Keys.ARCHITECTURE, "llama")
+    w.add(Keys.NAME, "tiny-llama-test")
+    w.add("llama.context_length", context_length)
+    w.add("llama.embedding_length", hidden)
+    w.add("llama.block_count", n_layers)
+    w.add("llama.feed_forward_length", ffn_dim)
+    w.add("llama.attention.head_count", n_heads)
+    w.add("llama.attention.head_count_kv", n_kv_heads)
+    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add("llama.rope.freq_base", rope_base)
+    w.add("llama.vocab_size", vocab_size)
+    for k, v in tok_md.items():
+        w.add(k, v)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def addw(name, arr, q=quant):
+        w.add_tensor(name, arr, q)
+
+    addw("token_embd.weight", rand(vocab_size, hidden))
+    for i in range(n_layers):
+        addw(f"blk.{i}.attn_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
+        addw(f"blk.{i}.attn_q.weight", rand(n_heads * head_dim, hidden))
+        addw(f"blk.{i}.attn_k.weight", rand(n_kv_heads * head_dim, hidden))
+        addw(f"blk.{i}.attn_v.weight", rand(n_kv_heads * head_dim, hidden))
+        addw(f"blk.{i}.attn_output.weight", rand(hidden, n_heads * head_dim))
+        addw(f"blk.{i}.ffn_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
+        addw(f"blk.{i}.ffn_gate.weight", rand(ffn_dim, hidden))
+        addw(f"blk.{i}.ffn_up.weight", rand(ffn_dim, hidden))
+        addw(f"blk.{i}.ffn_down.weight", rand(hidden, ffn_dim))
+    addw("output_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
+    if not tied:
+        addw("output.weight", rand(vocab_size, hidden))
+    return w.write(path)

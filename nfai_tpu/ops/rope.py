@@ -1,0 +1,67 @@
+"""Rotary position embeddings (GGUF/ggml "NORM" style: adjacent pairs).
+
+Parity target: ``NFAI.Vulkan.Shaders/RoPEShader.cs:231-272`` — rotates pairs
+(2z, 2z+1) with theta = pos * base^(-2z/head_dim). GGUF llama checkpoints have
+the HF→ggml Q/K permutation baked into the weights, so adjacent-pair rotation
+is the correct convention here. Unlike the reference (which hardcodes base
+500000 ignoring metadata, ``TransformerBlock.cs:33-38``), the base and
+Llama-3.1+ frequency scaling come from the checkpoint.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_inv_freq(
+    head_dim: int,
+    base: float = 10000.0,
+    scaling_type: str = "none",
+    scaling_factor: float = 1.0,
+    low_freq_factor: float = 1.0,
+    high_freq_factor: float = 4.0,
+    original_context_length: int = 8192,
+) -> np.ndarray:
+    """Inverse frequencies per rotation pair, with optional Llama-3 smoothing.
+
+    "llama3" implements the Llama-3.1/3.2 rope scaling: wavelengths longer than
+    the original context are divided by `scaling_factor`, with a smooth ramp
+    between low/high frequency cutoffs. Checkpoints converted by llama.cpp may
+    instead carry the result directly as a `rope_freqs.weight` tensor.
+    """
+    inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    if scaling_type in ("none", ""):
+        return inv_freq.astype(np.float32)
+    if scaling_type == "linear":
+        return (inv_freq / scaling_factor).astype(np.float32)
+    if scaling_type == "llama3":
+        low_wavelen = original_context_length / low_freq_factor
+        high_wavelen = original_context_length / high_freq_factor
+        wavelen = 2.0 * np.pi / inv_freq
+        scaled = np.where(wavelen > low_wavelen, inv_freq / scaling_factor, inv_freq)
+        smooth = (original_context_length / wavelen - low_freq_factor) / (
+            high_freq_factor - low_freq_factor
+        )
+        mid = (1 - smooth) * inv_freq / scaling_factor + smooth * inv_freq
+        is_mid = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+        return np.where(is_mid, mid, scaled).astype(np.float32)
+    raise ValueError(f"unsupported rope scaling type {scaling_type!r}")
+
+
+def apply_rope(
+    x: jax.Array,  # [..., seq, heads, head_dim]
+    positions: jax.Array,  # [..., seq]
+    inv_freq: jax.Array,  # [head_dim // 2]
+) -> jax.Array:
+    """Rotate adjacent pairs (2i, 2i+1) by theta_i = pos * inv_freq[i]."""
+    theta = positions[..., :, None].astype(jnp.float32) * inv_freq[None, :]
+    cos = jnp.cos(theta)[..., :, None, :]  # [..., seq, 1, hd/2]
+    sin = jnp.sin(theta)[..., :, None, :]
+    shape = x.shape
+    xf = x.astype(jnp.float32).reshape(*shape[:-1], shape[-1] // 2, 2)
+    even, odd = xf[..., 0], xf[..., 1]
+    r_even = even * cos - odd * sin
+    r_odd = even * sin + odd * cos
+    out = jnp.stack([r_even, r_odd], axis=-1).reshape(shape)
+    return out.astype(x.dtype)

@@ -1,0 +1,52 @@
+"""On-device token sampling.
+
+Parity target: ``NFAI.Models.Llama3/SamplingUtils.cs:5-33`` — CPU pipeline
+temperature → softmax → top-k → top-p → renormalize → multinomial. Here the
+whole pipeline runs inside the jitted step on device (the reference reads the
+full vocab logits back to the host every token, ``LlamaModel.cs:128-131``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def sample_logits(
+    logits: jax.Array,  # [B, V] float
+    key: jax.Array,
+    temperature: float | jax.Array = 0.5,
+    top_k: int = 40,
+    top_p: float | jax.Array = 0.95,
+) -> jax.Array:
+    """Sample next token ids [B] with temperature / top-k / top-p filtering.
+
+    `top_k` must be static (it bounds the sort width); temperature and top_p
+    may be traced. temperature <= 0 is greedy argmax.
+    """
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.asarray(temperature, jnp.float32) <= 0.0
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    scaled = logits / t
+
+    if top_k > 0 and top_k < logits.shape[-1]:
+        top_vals, top_idx = jax.lax.top_k(scaled, top_k)  # [B, K] sorted desc
+    else:
+        top_vals = jnp.sort(scaled, axis=-1)[..., ::-1]
+        top_idx = jnp.argsort(scaled, axis=-1)[..., ::-1]
+
+    # top-p over the sorted distribution: keep the smallest prefix whose
+    # cumulative probability exceeds p (always at least one token)
+    probs = jax.nn.softmax(top_vals, axis=-1)
+    cumulative = jnp.cumsum(probs, axis=-1)
+    keep = (cumulative - probs) < jnp.asarray(top_p, jnp.float32)
+    filtered = jnp.where(keep, top_vals, NEG_INF)
+
+    choice = jax.random.categorical(key, filtered, axis=-1)  # [B]
+    sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    return jnp.where(greedy, jnp.argmax(logits, axis=-1), sampled)
+
+
+def greedy_sample(logits: jax.Array) -> jax.Array:
+    return jnp.argmax(logits.astype(jnp.float32), axis=-1)

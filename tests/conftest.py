@@ -16,6 +16,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# XLA:CPU's oneDNN matmul silently drops to bf16-fastmath for some shapes,
+# breaking f32 parity tests at ~0.5% error; force full-precision matmuls.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

@@ -1,0 +1,270 @@
+"""Inference engine: model loading, chunked prefill, streaming decode.
+
+Parity target: ``NFAI.Models.Llama3/LlamaModel.cs`` —
+``GetStreamingResponseAsync`` (:76-97) → `stream_chat`;
+``RunAsync`` prefill+decode loop (:99-173) → `generate`;
+multi-turn KV persistence via ``firstInput`` (:17,101-102) → `ChatSession`
+(which prefills only the yet-uncached suffix of the rendered conversation).
+
+TPU-first differences: the prompt is prefilled in bucketed chunks (one jitted
+call per chunk — the reference fed tokens one-by-one, LlamaModel.cs:103-126);
+sampling runs on device inside the step (no full-vocab readback per token,
+cf. LlamaModel.cs:128-131); generation refuses to overflow the KV cache
+(quirk ledger: counter overflow, MatrixMultiplyShader.cs:248-252).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, SamplingParams
+from ..gguf import GGUFFile, Keys
+from ..models import KVCache, decode_step, prefill_step, resolve
+from ..ops.sampling import sample_logits
+from ..tokenizer import BPETokenizer, ChatTemplate, Message, StreamDetokenizer
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int, cap: int) -> int:
+    for b in _PREFILL_BUCKETS:
+        if n <= b and b <= cap:
+            return b
+    return cap
+
+
+@dataclass
+class GenerationMetrics:
+    """Request-level metrics (SURVEY.md §5 observability: TTFT, tokens/s)."""
+
+    prompt_tokens: int = 0
+    new_tokens: int = 0
+    ttft_s: float = 0.0
+    decode_s: float = 0.0
+
+    @property
+    def decode_tokens_per_s(self) -> float:
+        return self.new_tokens / self.decode_s if self.decode_s > 0 else 0.0
+
+
+class InferenceEngine:
+    """Single-model inference engine over one jitted prefill/decode pair.
+
+    The dtype-native compute path: weights are dequantized to `dtype`
+    (bf16 by default) at load; quantized-in-HBM kernels plug in via
+    `nfai_tpu.ops.qmatmul` (see models/llama_quant).
+    """
+
+    def __init__(
+        self,
+        gguf: str | Path | GGUFFile,
+        config: EngineConfig | None = None,
+    ):
+        self.config = config or EngineConfig()
+        g = gguf if isinstance(gguf, GGUFFile) else GGUFFile.open(gguf)
+        self.gguf = g
+        self.family = resolve(g)
+        self.model_cfg = self.family.config_from_gguf(g)
+        self.model_name = str(g.metadata.get(Keys.NAME, g.architecture))
+        dtype = jnp.dtype(self.config.dtype)
+        t0 = time.perf_counter()
+        self.params = self.family.load_params(g, self.model_cfg, dtype=dtype)
+        log.info(
+            "loaded %s (%d layers, %d-dim) in %.2fs",
+            self.model_name,
+            self.model_cfg.n_layers,
+            self.model_cfg.hidden_size,
+            time.perf_counter() - t0,
+        )
+        self.tokenizer = BPETokenizer.from_gguf_metadata(g.metadata)
+        bos = (
+            self.tokenizer.id_to_token.get(self.tokenizer.bos_id, "")
+            if self.tokenizer.bos_id is not None
+            else ""
+        )
+        eos = (
+            self.tokenizer.id_to_token.get(self.tokenizer.eos_id, "")
+            if self.tokenizer.eos_id is not None
+            else ""
+        )
+        self.chat_template = ChatTemplate(
+            g.metadata.get(Keys.TOKENIZER_CHAT_TEMPLATE), bos_token=bos, eos_token=eos
+        )
+        self.cache_dtype = dtype
+        self.max_seq_len = min(self.config.max_seq_len, self.model_cfg.context_length)
+
+    # -- low level ---------------------------------------------------------
+    def new_cache(self, batch: int = 1) -> KVCache:
+        return KVCache.zeros(self.model_cfg, batch, self.max_seq_len, self.cache_dtype)
+
+    def prefill(
+        self, cache: KVCache, token_ids: Sequence[int], start_pos: int = 0
+    ) -> tuple[jax.Array, KVCache]:
+        """Prefill tokens (batch 1) in bucketed chunks; returns (last logits, cache)."""
+        ids = np.asarray(token_ids, np.int32)
+        if start_pos + ids.size > self.max_seq_len:
+            raise ValueError(
+                f"prompt of {ids.size} tokens at position {start_pos} exceeds "
+                f"max_seq_len={self.max_seq_len}"
+            )
+        logits = None
+        pos = start_pos
+        chunk_cap = self.config.prefill_chunk
+        while pos < start_pos + ids.size:
+            take = min(chunk_cap, start_pos + ids.size - pos)
+            # the padded bucket must not overrun the cache: dynamic_update_slice
+            # clamps out-of-bounds starts, which would shift-overwrite earlier
+            # slots. take <= max_seq_len - pos, so the min stays >= take.
+            bucket = min(_bucket(take, chunk_cap), self.max_seq_len - pos)
+            chunk = np.zeros(bucket, np.int32)
+            chunk[:take] = ids[pos - start_pos : pos - start_pos + take]
+            positions = np.arange(pos, pos + bucket, dtype=np.int32)
+            logits, cache = prefill_step(
+                self.params,
+                self.model_cfg,
+                jnp.asarray(chunk[None, :]),
+                jnp.asarray(positions[None, :]),
+                jnp.asarray([take - 1], jnp.int32),
+                cache,
+            )
+            pos += take
+        return logits, cache
+
+    # -- generation --------------------------------------------------------
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        sampling: SamplingParams | None = None,
+        cache: KVCache | None = None,
+        start_pos: int = 0,
+        metrics: GenerationMetrics | None = None,
+    ) -> Iterator[int]:
+        """Stream generated token ids until EOS / max tokens / cache full."""
+        sampling = sampling or SamplingParams()
+        metrics = metrics if metrics is not None else GenerationMetrics()
+        if cache is None:
+            cache = self.new_cache(1)
+        key = jax.random.PRNGKey(
+            sampling.seed if sampling.seed is not None else np.random.randint(2**31)
+        )
+        t0 = time.perf_counter()
+        logits, cache = self.prefill(cache, prompt_ids, start_pos)
+        pos = start_pos + len(prompt_ids)
+        key, sub = jax.random.split(key)
+        token = sample_logits(
+            logits, sub, sampling.temperature, sampling.top_k, sampling.top_p
+        )
+        tok_id = int(token[0])
+        metrics.prompt_tokens = len(prompt_ids)
+        metrics.ttft_s = time.perf_counter() - t0
+        self._last_cache, self._last_pos = cache, pos
+
+        t_dec = time.perf_counter()
+        emitted = 0
+        while True:
+            if self.tokenizer.is_eos(tok_id):
+                break
+            yield tok_id
+            emitted += 1
+            if emitted >= sampling.max_new_tokens or pos >= self.max_seq_len:
+                break
+            key, sub = jax.random.split(key)
+            logits, cache = decode_step(
+                self.params,
+                self.model_cfg,
+                jnp.asarray([tok_id], jnp.int32),
+                jnp.asarray([pos], jnp.int32),
+                cache,
+            )
+            token = sample_logits(
+                logits, sub, sampling.temperature, sampling.top_k, sampling.top_p
+            )
+            tok_id = int(token[0])
+            pos += 1
+            self._last_cache, self._last_pos = cache, pos
+        metrics.new_tokens = emitted
+        metrics.decode_s = time.perf_counter() - t_dec
+
+    def generate_text(
+        self, prompt: str, sampling: SamplingParams | None = None
+    ) -> str:
+        ids = self.tokenizer.encode(prompt)
+        detok = StreamDetokenizer(self.tokenizer)
+        out = [detok.push(t) for t in self.generate(ids, sampling)]
+        return "".join(out) + detok.flush()
+
+
+@dataclass
+class ChatSession:
+    """Multi-turn chat with KV-cache reuse across turns.
+
+    The rendered conversation is re-tokenized each turn and only the suffix
+    beyond the cached prefix is prefilled (generalizing the reference's
+    ``firstInput`` flag, LlamaModel.cs:101-102 — which also ignored every
+    message but the first user one, LlamaModel.cs:79; here full history and
+    system prompts are honored).
+    """
+
+    engine: InferenceEngine
+    sampling: SamplingParams = field(default_factory=SamplingParams)
+    messages: list[Message] = field(default_factory=list)
+    _cache: Any = None
+    _cached_ids: list[int] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.messages and self.engine.config.system_prompt:
+            self.messages.append(Message("system", self.engine.config.system_prompt))
+
+    def stream(self, user_text: str) -> Iterator[str]:
+        """Send a user message; yields assistant text pieces."""
+        self.messages.append(Message("user", user_text))
+        prompt = self.engine.chat_template.render(
+            self.messages, add_generation_prompt=True
+        )
+        ids = self.engine.tokenizer.encode(prompt, add_bos=False)
+        # longest common prefix with what's already in the cache
+        common = 0
+        for a, b in zip(self._cached_ids, ids):
+            if a != b:
+                break
+            common += 1
+        if common == len(ids):  # always leave at least one token to prefill
+            common = max(0, len(ids) - 1)
+        if self._cache is None or common == 0:
+            self._cache = self.engine.new_cache(1)
+            common = 0
+        new_ids = ids[common:]
+
+        detok = StreamDetokenizer(self.engine.tokenizer)
+        reply_ids: list[int] = []
+        metrics = GenerationMetrics()
+        for tok in self.engine.generate(
+            new_ids, self.sampling, cache=self._cache, start_pos=common,
+            metrics=metrics,
+        ):
+            reply_ids.append(tok)
+            piece = detok.push(tok)
+            if piece:
+                yield piece
+        tail = detok.flush()
+        if tail:
+            yield tail
+        self.last_metrics = metrics
+        # the cache holds KV for exactly _last_pos tokens (the final sampled
+        # token may never have run through decode_step)
+        self._cache = self.engine._last_cache
+        self._cached_ids = (ids + reply_ids)[: self.engine._last_pos]
+        reply_text = self.engine.tokenizer.decode(reply_ids, skip_special=True)
+        self.messages.append(Message("assistant", reply_text))
+
+    def send(self, user_text: str) -> str:
+        return "".join(self.stream(user_text))

@@ -22,6 +22,14 @@ import jax  # noqa: E402
 # breaking f32 parity tests at ~0.5% error; force full-precision matmuls.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: scanned-forward compiles dominate test wall-clock
+# on CPU; cache them across runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 
 @pytest.fixture
 def rng():

@@ -1,0 +1,131 @@
+"""Engine integration tests (SURVEY.md §4 "Integration"): end-to-end generate,
+chunked prefill correctness at bucket boundaries and the cache end, sampling
+determinism under fixed seeds, multi-turn KV persistence."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nfai_tpu.config import EngineConfig, SamplingParams
+from nfai_tpu.models.testing import make_tiny_llama_gguf
+from nfai_tpu.runtime.engine import ChatSession, InferenceEngine
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    path = make_tiny_llama_gguf(
+        tmp_path_factory.mktemp("e") / "tiny.gguf", n_layers=2, context_length=128
+    )
+    eng = InferenceEngine(
+        path,
+        EngineConfig(max_seq_len=64, dtype="float32", prefill_chunk=16),
+    )
+    yield eng
+    eng.gguf.close()
+
+
+@pytest.fixture(scope="module")
+def chat_engine(tmp_path_factory):
+    # chat prompts are ~110 byte-level tokens per turn; needs a roomier cache
+    path = make_tiny_llama_gguf(
+        tmp_path_factory.mktemp("c") / "chat.gguf", n_layers=2, context_length=512
+    )
+    eng = InferenceEngine(
+        path,
+        EngineConfig(max_seq_len=384, dtype="float32", prefill_chunk=128),
+    )
+    yield eng
+    eng.gguf.close()
+
+
+def greedy(n=12, seed=0):
+    return SamplingParams(temperature=0.0, max_new_tokens=n, seed=seed)
+
+
+def test_generate_deterministic_greedy(engine):
+    ids = engine.tokenizer.encode("hello world")
+    a = list(engine.generate(ids, greedy()))
+    b = list(engine.generate(ids, greedy()))
+    assert a == b
+    assert 0 < len(a) <= 12
+
+
+def test_generate_seeded_sampling_deterministic(engine):
+    ids = engine.tokenizer.encode("hello")
+    s = SamplingParams(temperature=1.0, top_k=40, top_p=0.95, seed=42, max_new_tokens=8)
+    assert list(engine.generate(ids, s)) == list(engine.generate(ids, s))
+
+
+def test_chunked_prefill_equals_single_chunk(engine):
+    # 23 tokens with chunk=16 forces two buckets (16 + 8-pad); compare with a
+    # config whose chunk covers the prompt in one call
+    rng = np.random.default_rng(0)
+    ids = [int(x) for x in rng.integers(0, 200, size=23)]
+    a = list(engine.generate(ids, greedy()))
+
+    big = InferenceEngine(
+        engine.gguf, EngineConfig(max_seq_len=64, dtype="float32", prefill_chunk=64)
+    )
+    b = list(big.generate(ids, greedy()))
+    assert a == b
+
+
+def test_prefill_near_cache_end_no_corruption(engine):
+    # prompt of 60 in a 64-slot cache: padded bucket would overrun; the engine
+    # must clamp the bucket, not shift-overwrite earlier slots
+    rng = np.random.default_rng(1)
+    ids = [int(x) for x in rng.integers(0, 200, size=60)]
+    toks = list(engine.generate(ids, greedy(n=8)))
+    # 4 free slots -> 4 decoded writes + 1 final sampled token (needs no slot)
+    assert len(toks) <= 5
+
+    # correctness: same prompt in a roomier cache must match for those tokens
+    big = InferenceEngine(
+        engine.gguf, EngineConfig(max_seq_len=128, dtype="float32", prefill_chunk=16)
+    )
+    ref = list(big.generate(ids, greedy(n=8)))
+    assert toks == ref[: len(toks)]
+
+
+def test_generate_stops_at_cache_end(engine):
+    ids = engine.tokenizer.encode("hi")
+    toks = list(engine.generate(ids, SamplingParams(temperature=0, max_new_tokens=500)))
+    # at most one token beyond the cache (the final sample needs no KV slot)
+    assert len(ids) + len(toks) <= engine.max_seq_len + 1
+
+
+def test_prompt_too_long_raises(engine):
+    with pytest.raises(ValueError, match="exceeds"):
+        list(engine.generate(list(range(100)), greedy()))
+
+
+def test_generate_text_roundtrip(engine):
+    out = engine.generate_text("abc", greedy(n=6))
+    assert isinstance(out, str)
+
+
+def test_chat_session_multiturn_cache_reuse(chat_engine):
+    engine = chat_engine
+    s = ChatSession(engine, greedy(n=6))
+    r1 = s.send("hello")
+    assert isinstance(r1, str)
+    cached_after_1 = len(s._cached_ids)
+    assert cached_after_1 > 0
+    r2 = s.send("again")
+    assert len(s.messages) == 5  # system, u, a, u, a
+    assert len(s._cached_ids) > cached_after_1
+
+    # replies must match a fresh session fed the same history (cache reuse
+    # must not change results)
+    s2 = ChatSession(engine, greedy(n=6))
+    assert s2.send("hello") == r1
+    assert s2.send("again") == r2
+
+
+def test_metrics_populated(chat_engine):
+    engine = chat_engine
+    s = ChatSession(engine, greedy(n=4))
+    s.send("hello")
+    m = s.last_metrics
+    assert m.prompt_tokens > 0
+    assert m.ttft_s > 0

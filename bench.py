@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Decode-throughput benchmark. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so `vs_baseline` reports
+efficiency against the HBM-bandwidth roofline for the same model/batch/seq on
+this chip (decode is bandwidth-bound: every step must stream all weights plus
+the KV cache). 1.0 == speed of light.
+
+Default config mirrors BASELINE config 2: Llama-3.2-1B shapes, bf16, batched
+sampling with KV cache on one chip. Weights are synthetic (no model files ship
+with the image; the compute path is identical).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+SIZES = {
+    # name: (hidden, layers, heads, kv_heads, ffn, vocab)
+    "tiny": (256, 4, 8, 4, 512, 512),
+    "1b": (2048, 16, 32, 8, 8192, 128256),
+    "3b": (3072, 28, 24, 8, 8192, 128256),
+    "8b": (4096, 32, 32, 8, 14336, 128256),
+}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", default="1b", choices=SIZES)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seq", type=int, default=1024, help="KV cache length")
+    p.add_argument("--prompt", type=int, default=128)
+    p.add_argument("--decode-tokens", type=int, default=256)
+    p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--hbm-gbps", type=float, default=819.0,
+                   help="chip HBM bandwidth for the roofline (v5e: 819)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = p.parse_args()
+
+    from nfai_tpu.utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nfai_tpu.models import KVCache
+    from nfai_tpu.models.llama import LlamaConfig, decode_loop, prefill_step
+    from nfai_tpu.ops.rope import compute_inv_freq
+
+    hidden, layers, heads, kv_heads, ffn, vocab = SIZES[args.size]
+    head_dim = hidden // heads
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden, n_layers=layers, n_heads=heads,
+        n_kv_heads=kv_heads, head_dim=head_dim, ffn_dim=ffn,
+        rope_base=500000.0, context_length=max(args.seq, 2048),
+    )
+    dtype = jnp.dtype(args.dtype)
+    dev = jax.devices()[0]
+    log(f"device: {dev}, model={args.size}, batch={args.batch}, seq={args.seq}")
+
+    # synthetic weights generated on device
+    key = jax.random.PRNGKey(0)
+
+    def rand(key, *shape):
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+
+    ks = jax.random.split(key, 16)
+    qd, kvd = heads * head_dim, kv_heads * head_dim
+    params = {
+        "embed": rand(ks[0], vocab, hidden),
+        "layers": {
+            "attn_norm": jnp.ones((layers, hidden), jnp.float32),
+            "wq": rand(ks[1], layers, hidden, qd),
+            "wk": rand(ks[2], layers, hidden, kvd),
+            "wv": rand(ks[3], layers, hidden, kvd),
+            "wo": rand(ks[4], layers, qd, hidden),
+            "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
+            "w_gate": rand(ks[5], layers, hidden, ffn),
+            "w_up": rand(ks[6], layers, hidden, ffn),
+            "w_down": rand(ks[7], layers, ffn, hidden),
+        },
+        "final_norm": jnp.ones(hidden, jnp.float32),
+        "lm_head": rand(ks[8], hidden, vocab),
+        "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
+    }
+    n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
+    log(f"params: {n_params/1e9:.3f}B ({n_params*dtype.itemsize/1e9:.2f} GB {dtype})")
+
+    cache = KVCache.zeros(cfg, args.batch, args.seq, dtype)
+    B, T = args.batch, args.prompt
+    tokens = jax.random.randint(ks[9], (B, T), 0, vocab, jnp.int32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    last = jnp.full((B,), T - 1, jnp.int32)
+
+    def sync(x):
+        # block_until_ready does not reliably block on the experimental
+        # axon platform; a host transfer is an honest barrier
+        return np.asarray(jnp.sum(x.astype(jnp.float32)))
+
+    # -- prefill / TTFT ----------------------------------------------------
+    t0 = time.perf_counter()
+    logits, cache = prefill_step(params, cfg, tokens, positions, last, cache)
+    sync(logits)
+    compile_ttft = time.perf_counter() - t0
+    # warm TTFT: fresh cache, compiled path
+    cache2 = KVCache.zeros(cfg, B, args.seq, dtype)
+    sync(cache2.k)
+    t0 = time.perf_counter()
+    logits, cache2 = prefill_step(params, cfg, tokens, positions, last, cache2)
+    sync(logits)
+    ttft = time.perf_counter() - t0
+    cache = cache2
+    log(f"prefill({B}x{T}): first {compile_ttft:.2f}s (compile), warm {ttft*1e3:.1f} ms")
+
+    # -- decode ------------------------------------------------------------
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    start = jnp.full((B,), T, jnp.int32)
+    rng = jax.random.PRNGKey(1)
+
+    def run(n_tokens, cache, first, start, rng):
+        done = 0
+        while done < n_tokens:
+            n = min(args.chunk, n_tokens - done)
+            toks, first, cache, rng = decode_loop(
+                params, cfg, first, start, cache, rng, n,
+                temperature=0.7, top_k=40, top_p=0.95,
+            )
+            start = start + n
+            done += n
+        sync(first)  # depends on the full chain of chunks
+        return cache, first, start, rng
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    cache, first, start, rng = run(args.chunk, cache, first, start, rng)
+    log(f"decode compile+warmup: {time.perf_counter()-t0:.2f}s")
+    # timed
+    t0 = time.perf_counter()
+    cache, first, start, rng = run(args.decode_tokens, cache, first, start, rng)
+    dt = time.perf_counter() - t0
+    tok_s = args.batch * args.decode_tokens / dt
+
+    # -- roofline ----------------------------------------------------------
+    param_bytes = n_params * dtype.itemsize
+    mean_ctx = T + args.chunk + args.decode_tokens / 2
+    kv_bytes_step = layers * 2 * mean_ctx * kv_heads * head_dim * dtype.itemsize * B
+    roofline_steps = args.hbm_gbps * 1e9 / (param_bytes + kv_bytes_step)
+    roofline_tok_s = roofline_steps * B
+    log(
+        f"decode: {tok_s:.1f} tok/s total ({tok_s/args.batch:.1f}/seq) | "
+        f"roofline {roofline_tok_s:.0f} tok/s | eff {tok_s/roofline_tok_s:.2f}"
+    )
+
+    print(json.dumps({
+        "metric": f"decode_tokens_per_sec_chip_llama32_{args.size}_{args.dtype}_b{args.batch}",
+        "value": round(tok_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tok_s / roofline_tok_s, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,6 +40,7 @@ class EngineConfig:
     param_dtype: str = "auto"  # "auto" = keep quantized / native dtype
     page_size: int = 128  # KV cache page granularity
     prefill_chunk: int = 256  # prompt chunking bucket for jit shape stability
+    decode_chunk: int = 32  # tokens generated per on-device fused decode call
     # mesh: axis name -> size; empty = single device
     mesh_shape: dict[str, int] = field(default_factory=dict)
     system_prompt: str = "You are a helpful assistant."

@@ -123,20 +123,17 @@ def load_params(
     cfg: LlamaConfig,
     dtype: Any = jnp.bfloat16,
     device_put: bool = True,
-    shardings: dict[str, Any] | None = None,
 ) -> dict:
     """Load + dequantize GGUF weights into a layer-stacked params pytree.
 
     Matmul weights are stored transposed to (in, out) so the forward is plain
-    ``x @ w``. Norm weights stay float32. `shardings` optionally maps pytree
-    keys ("wq", "embed", ...) to `jax.sharding.Sharding`s applied at transfer.
+    ``x @ w``. Norm weights stay float32. With ``device_put=False`` the tree
+    stays in numpy (callers then `jax.device_put` it onto a sharding pytree,
+    e.g. `parallel.llama_param_shardings`).
     """
 
     def put(name: str, arr: np.ndarray):
-        if not device_put:
-            return arr
-        sharding = (shardings or {}).get(name)
-        return jax.device_put(arr, sharding) if sharding else jnp.asarray(arr)
+        return jnp.asarray(arr) if device_put else arr
 
     def mat(tensor_name: str) -> np.ndarray:
         # GGUF matmul weights are (out, in) in numpy order; transpose to (in, out)
@@ -302,5 +299,49 @@ def decode_step(
     cache: KVCache,
 ) -> tuple[jax.Array, KVCache]:
     """One decode token for every sequence in the batch; returns [B, V] logits."""
+    h, cache = forward(params, cfg, tokens[:, None], positions[:, None], cache)
+    return logits_for(params, h)[:, 0, :], cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "top_k"),
+    donate_argnames=("cache",),
+)
+def decode_loop(
+    params: dict,
+    cfg: LlamaConfig,
+    first_tokens: jax.Array,  # [B] token ids to start from
+    start_pos: jax.Array,  # [B] their absolute positions
+    cache: KVCache,
+    key: jax.Array,
+    n_steps: int,
+    temperature: jax.Array | float = 0.0,
+    top_k: int = 40,
+    top_p: jax.Array | float = 0.95,
+) -> tuple[jax.Array, jax.Array, KVCache, jax.Array]:
+    """Generate `n_steps` tokens fully on device (no host sync per token).
+
+    Returns (tokens [B, n_steps], next_tokens [B], cache, key). The emitted
+    tokens all have their K/V written; `next_tokens` is sampled but not yet
+    fed through the model. The host checks EOS between chunks — one sync per
+    `n_steps` tokens instead of per token.
+    """
+    from ..ops.sampling import sample_logits
+
+    def body(carry, _):
+        tok, pos, cache, key = carry
+        logits, cache = _decode_one(params, cfg, tok, pos, cache)
+        key, sub = jax.random.split(key)
+        nxt = sample_logits(logits, sub, temperature, top_k, top_p).astype(tok.dtype)
+        return (nxt, pos + 1, cache, key), tok
+
+    (next_tok, _, cache, key), toks = jax.lax.scan(
+        body, (first_tokens, start_pos, cache, key), length=n_steps
+    )
+    return jnp.moveaxis(toks, 0, 1), next_tok, cache, key
+
+
+def _decode_one(params, cfg, tokens, positions, cache):
     h, cache = forward(params, cfg, tokens[:, None], positions[:, None], cache)
     return logits_for(params, h)[:, 0, :], cache

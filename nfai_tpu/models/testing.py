@@ -65,7 +65,10 @@ def make_tiny_llama_gguf(
     rng = np.random.default_rng(seed)
     tok_md = tiny_tokenizer_metadata()
     if vocab_size is None:
-        vocab_size = len(tok_md[Keys.TOKENIZER_TOKENS])
+        # pad to a multiple of 8 so tensor-parallel vocab sharding divides
+        # (model vocab >= tokenizer vocab, as in real llama checkpoints)
+        n_tok = len(tok_md[Keys.TOKENIZER_TOKENS])
+        vocab_size = (n_tok + 7) // 8 * 8
     head_dim = hidden // n_heads
 
     w = GGUFWriter()

@@ -25,7 +25,8 @@ import numpy as np
 
 from ..config import EngineConfig, SamplingParams
 from ..gguf import GGUFFile, Keys
-from ..models import KVCache, decode_step, prefill_step, resolve
+from ..models import KVCache, prefill_step, resolve
+from ..models.llama import decode_loop
 from ..ops.sampling import sample_logits
 from ..tokenizer import BPETokenizer, ChatTemplate, Message, StreamDetokenizer
 from ..utils.logging import get_logger
@@ -77,7 +78,23 @@ class InferenceEngine:
         self.model_name = str(g.metadata.get(Keys.NAME, g.architecture))
         dtype = jnp.dtype(self.config.dtype)
         t0 = time.perf_counter()
-        self.params = self.family.load_params(g, self.model_cfg, dtype=dtype)
+        self.mesh = None
+        if self.config.mesh_shape:
+            from ..parallel import (
+                TP_AXIS,
+                llama_param_shardings,
+                make_mesh,
+                validate_tp,
+            )
+
+            self.mesh = make_mesh(self.config.mesh_shape)
+            validate_tp(self.model_cfg, self.mesh.shape[TP_AXIS])
+            params_np = self.family.load_params(
+                g, self.model_cfg, dtype=dtype, device_put=False
+            )
+            self.params = jax.device_put(params_np, llama_param_shardings(self.mesh))
+        else:
+            self.params = self.family.load_params(g, self.model_cfg, dtype=dtype)
         log.info(
             "loaded %s (%d layers, %d-dim) in %.2fs",
             self.model_name,
@@ -104,7 +121,14 @@ class InferenceEngine:
 
     # -- low level ---------------------------------------------------------
     def new_cache(self, batch: int = 1) -> KVCache:
-        return KVCache.zeros(self.model_cfg, batch, self.max_seq_len, self.cache_dtype)
+        cache = KVCache.zeros(
+            self.model_cfg, batch, self.max_seq_len, self.cache_dtype
+        )
+        if self.mesh is not None:
+            from ..parallel import kv_cache_sharding
+
+            cache = jax.device_put(cache, kv_cache_sharding(self.mesh))
+        return cache
 
     def prefill(
         self, cache: KVCache, token_ids: Sequence[int], start_pos: int = 0
@@ -162,35 +186,57 @@ class InferenceEngine:
         key, sub = jax.random.split(key)
         token = sample_logits(
             logits, sub, sampling.temperature, sampling.top_k, sampling.top_p
-        )
-        tok_id = int(token[0])
+        ).astype(jnp.int32)
         metrics.prompt_tokens = len(prompt_ids)
         metrics.ttft_s = time.perf_counter() - t0
         self._last_cache, self._last_pos = cache, pos
 
+        # Fused decode: chunks of up to `decode_chunk` tokens run entirely on
+        # device (one host sync per chunk; the reference synced per op). Chunk
+        # sizes are powers of two to bound the number of compiled variants.
         t_dec = time.perf_counter()
         emitted = 0
-        while True:
-            if self.tokenizer.is_eos(tok_id):
+        done = False
+        while not done:
+            budget = min(
+                sampling.max_new_tokens - emitted, self.max_seq_len - pos
+            )
+            if budget <= 0:
+                # the final sampled token needs no KV slot
+                tok_id = int(token[0])
+                if emitted < sampling.max_new_tokens and not self.tokenizer.is_eos(
+                    tok_id
+                ):
+                    yield tok_id
+                    emitted += 1
                 break
-            yield tok_id
-            emitted += 1
-            if emitted >= sampling.max_new_tokens or pos >= self.max_seq_len:
-                break
-            key, sub = jax.random.split(key)
-            logits, cache = decode_step(
+            n = min(self.config.decode_chunk, budget)
+            n = 1 << (n.bit_length() - 1)  # round down to a power of two
+            toks, token, cache, key = decode_loop(
                 self.params,
                 self.model_cfg,
-                jnp.asarray([tok_id], jnp.int32),
+                token,
                 jnp.asarray([pos], jnp.int32),
                 cache,
+                key,
+                n,
+                sampling.temperature,
+                sampling.top_k,
+                sampling.top_p,
             )
-            token = sample_logits(
-                logits, sub, sampling.temperature, sampling.top_k, sampling.top_p
-            )
-            tok_id = int(token[0])
-            pos += 1
-            self._last_cache, self._last_pos = cache, pos
+            toks_host = np.asarray(toks[0])  # one sync per chunk
+            for j, t in enumerate(toks_host):
+                t = int(t)
+                if self.tokenizer.is_eos(t):
+                    done = True
+                    self._last_pos = pos + j
+                    break
+                yield t
+                emitted += 1
+            else:
+                self._last_pos = pos + n
+            pos += n
+            self._last_cache = cache
         metrics.new_tokens = emitted
         metrics.decode_s = time.perf_counter() - t_dec
 

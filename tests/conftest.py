@@ -6,7 +6,6 @@ any `import jax` in the test process, hence env mutation at conftest import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +16,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+# The env image's TPU plugin ("axon") overrides the JAX_PLATFORMS env var at
+# import; only the config API reliably forces the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 
 # XLA:CPU's oneDNN matmul silently drops to bf16-fastmath for some shapes,
 # breaking f32 parity tests at ~0.5% error; force full-precision matmuls.

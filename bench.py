@@ -40,6 +40,8 @@ def main() -> int:
     p.add_argument("--decode-tokens", type=int, default=256)
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--quant", default="none", choices=["none", "q8_0", "q4"],
+                   help="keep weights quantized in HBM (fused dequant kernels)")
     p.add_argument("--hbm-gbps", type=float, default=819.0,
                    help="chip HBM bandwidth for the roofline (v5e: 819)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -71,36 +73,61 @@ def main() -> int:
     log(f"device: {dev}, model={args.size}, batch={args.batch}, seq={args.seq}")
 
     # synthetic weights generated on device
+    from nfai_tpu.ops.qtensor import QTensor
+
     key = jax.random.PRNGKey(0)
+    kiter = iter(jax.random.split(key, 64))
 
-    def rand(key, *shape):
-        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+    def rand(*shape):
+        return (jax.random.normal(next(kiter), shape, jnp.float32) * 0.02).astype(
+            dtype
+        )
 
-    ks = jax.random.split(key, 16)
+    def weight(*shape):
+        """(..., K, N) weight — dense or synthetic-quantized per --quant."""
+        if args.quant == "none":
+            return rand(*shape)
+        lead, k, n = shape[:-2], shape[-2], shape[-1]
+        scales = (
+            jax.random.uniform(next(kiter), (*lead, k // 32, n), jnp.float32)
+            * 0.004
+        )
+        if args.quant == "q8_0":
+            qs = jax.random.randint(next(kiter), (*lead, k, n), -127, 128, jnp.int8)
+            return QTensor(qs, scales, None, "q8", k, n)
+        qs = jax.random.randint(
+            next(kiter), (*lead, k // 2, n), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+        mins = scales * 8.0
+        return QTensor(qs, scales, mins, "q4", k, n)
+
     qd, kvd = heads * head_dim, kv_heads * head_dim
     params = {
-        "embed": rand(ks[0], vocab, hidden),
+        "embed": rand(vocab, hidden),
         "layers": {
             "attn_norm": jnp.ones((layers, hidden), jnp.float32),
-            "wq": rand(ks[1], layers, hidden, qd),
-            "wk": rand(ks[2], layers, hidden, kvd),
-            "wv": rand(ks[3], layers, hidden, kvd),
-            "wo": rand(ks[4], layers, qd, hidden),
+            "wq": weight(layers, hidden, qd),
+            "wk": weight(layers, hidden, kvd),
+            "wv": weight(layers, hidden, kvd),
+            "wo": weight(layers, qd, hidden),
             "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
-            "w_gate": rand(ks[5], layers, hidden, ffn),
-            "w_up": rand(ks[6], layers, hidden, ffn),
-            "w_down": rand(ks[7], layers, ffn, hidden),
+            "w_gate": weight(layers, hidden, ffn),
+            "w_up": weight(layers, hidden, ffn),
+            "w_down": weight(layers, ffn, hidden),
         },
         "final_norm": jnp.ones(hidden, jnp.float32),
-        "lm_head": rand(ks[8], hidden, vocab),
+        "lm_head": weight(hidden, vocab),
         "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
     }
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
-    log(f"params: {n_params/1e9:.3f}B ({n_params*dtype.itemsize/1e9:.2f} GB {dtype})")
+    weight_bytes = sum(
+        a.size * a.dtype.itemsize for a in jax.tree.leaves(params)
+    )
+    log(f"params: ~{weight_bytes/1e9:.2f} GB in HBM (quant={args.quant})")
 
     cache = KVCache.zeros(cfg, args.batch, args.seq, dtype)
     B, T = args.batch, args.prompt
-    tokens = jax.random.randint(ks[9], (B, T), 0, vocab, jnp.int32)
+    tokens = jax.random.randint(next(kiter), (B, T), 0, vocab, jnp.int32)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
     last = jnp.full((B,), T - 1, jnp.int32)
 
@@ -153,7 +180,8 @@ def main() -> int:
     tok_s = args.batch * args.decode_tokens / dt
 
     # -- roofline ----------------------------------------------------------
-    param_bytes = n_params * dtype.itemsize
+    del n_params
+    param_bytes = weight_bytes
     mean_ctx = T + args.chunk + args.decode_tokens / 2
     kv_bytes_step = layers * 2 * mean_ctx * kv_heads * head_dim * dtype.itemsize * B
     roofline_steps = args.hbm_gbps * 1e9 / (param_bytes + kv_bytes_step)
@@ -163,8 +191,9 @@ def main() -> int:
         f"roofline {roofline_tok_s:.0f} tok/s | eff {tok_s/roofline_tok_s:.2f}"
     )
 
+    tag = args.dtype if args.quant == "none" else args.quant
     print(json.dumps({
-        "metric": f"decode_tokens_per_sec_chip_llama32_{args.size}_{args.dtype}_b{args.batch}",
+        "metric": f"decode_tokens_per_sec_chip_llama32_{args.size}_{tag}_b{args.batch}",
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / roofline_tok_s, 4),

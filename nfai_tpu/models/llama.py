@@ -22,6 +22,8 @@ import numpy as np
 
 from ..gguf import GGUFFile, Keys
 from ..ops import apply_rope, compute_inv_freq, rms_norm
+from ..ops.qmatmul import linear
+from ..ops.qtensor import QTensor, dequant_gather
 
 NEG_INF = -1e30
 
@@ -85,7 +87,12 @@ class LlamaConfig:
 
 
 class KVCache(NamedTuple):
-    """Dense per-layer KV cache. k/v: [L, B, S_max, H_kv, D]."""
+    """Dense per-layer KV cache. k/v: [L, H_kv, B, S_max, D].
+
+    Head-major layout: per layer, [H_kv, B, S, D] reshapes zero-copy to the
+    [H_kv, pages, page_size, D] view the paged decode-attention kernel wants,
+    and the kv-head axis stays leading for tensor-parallel sharding.
+    """
 
     k: jax.Array
     v: jax.Array
@@ -94,12 +101,12 @@ class KVCache(NamedTuple):
     def zeros(
         cls, cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
     ) -> "KVCache":
-        shape = (cfg.n_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, cfg.n_kv_heads, batch, max_seq, cfg.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 # ---------------------------------------------------------------------------
@@ -123,24 +130,70 @@ def load_params(
     cfg: LlamaConfig,
     dtype: Any = jnp.bfloat16,
     device_put: bool = True,
+    quantized: bool | str = False,
 ) -> dict:
-    """Load + dequantize GGUF weights into a layer-stacked params pytree.
+    """Load GGUF weights into a layer-stacked params pytree.
 
-    Matmul weights are stored transposed to (in, out) so the forward is plain
-    ``x @ w``. Norm weights stay float32. With ``device_put=False`` the tree
-    stays in numpy (callers then `jax.device_put` it onto a sharding pytree,
-    e.g. `parallel.llama_param_shardings`).
+    Dense matmul weights are stored transposed to (in, out) so the forward is
+    plain ``x @ w``; norm weights stay float32. With ``quantized="auto"``,
+    matmul weights whose GGUF type has a fused-kernel layout stay quantized
+    in HBM as `QTensor`s (ops.qtensor) — including the tied embedding/LM-head
+    table, which is then stored once in head layout and gathered for lookups.
+    With ``device_put=False`` the tree stays in numpy (callers then
+    `jax.device_put` onto a sharding pytree).
     """
+    from ..ops.qtensor import SUPPORTED_QUANT_TYPES, pack_gguf_tensor
 
-    def put(name: str, arr: np.ndarray):
-        return jnp.asarray(arr) if device_put else arr
+    quant_on = bool(quantized)
 
-    def mat(tensor_name: str) -> np.ndarray:
-        # GGUF matmul weights are (out, in) in numpy order; transpose to (in, out)
+    def put(name: str, arr):
+        if not device_put or arr is None:
+            return arr
+        return jax.tree.map(jnp.asarray, arr)
+
+    def quantizable(tensor_name: str) -> bool:
+        if not quant_on:
+            return False
+        desc = g.tensors[tensor_name]
+        if desc.ggml_type not in SUPPORTED_QUANT_TYPES:
+            return False
+        n_out, k_in = desc.shape
+        # kernel layout constraints (lane dim 128; 4-bit split halves)
+        return k_in % 64 == 0 and n_out % 128 == 0
+
+    def mat(tensor_name: str):
+        if quantizable(tensor_name):
+            desc = g.tensors[tensor_name]
+            return pack_gguf_tensor(
+                g.tensor_bytes(tensor_name), desc.ggml_type, desc.shape,
+                device_put=False,
+            )
+        # dense fallback: (out, in) -> (in, out)
         return np.ascontiguousarray(g.tensor_f32(tensor_name).T).astype(dtype)
 
-    embed = g.tensor_f32("token_embd.weight").astype(dtype)  # [V, H]
-    layers: dict[str, list[np.ndarray]] = {k: [] for k in _LAYER_TENSORS}
+    def stack(items):
+        """Stack per-layer params; QTensors stack leaf-wise (scan slices them
+        back per layer)."""
+        if isinstance(items[0], QTensor):
+            if not all(
+                isinstance(it, QTensor) and it.kind == items[0].kind for it in items
+            ):
+                raise ValueError("mixed quantization kinds across layers")
+            return QTensor(
+                qs=np.stack([it.qs for it in items]),
+                scales=np.stack([it.scales for it in items]),
+                mins=(
+                    np.stack([it.mins for it in items])
+                    if items[0].mins is not None
+                    else None
+                ),
+                kind=items[0].kind,
+                k=items[0].k,
+                n=items[0].n,
+            )
+        return np.stack(items)
+
+    layers: dict[str, list] = {k: [] for k in _LAYER_TENSORS}
     for i in range(cfg.n_layers):
         for key_name, template in _LAYER_TENSORS.items():
             t = template.format(i=i)
@@ -148,11 +201,22 @@ def load_params(
                 layers[key_name].append(g.tensor_f32(t).astype(np.float32))
             else:
                 layers[key_name].append(mat(t))
-    stacked = {k: put(k, np.stack(v)) for k, v in layers.items()}
+    stacked = {k: put(k, stack(v)) for k, v in layers.items()}
 
     if cfg.tied_embeddings:
-        lm_head = np.ascontiguousarray(g.tensor_f32("token_embd.weight").T).astype(dtype)
+        if quantizable("token_embd.weight"):
+            # one quantized table in head layout [K=hidden, N=vocab]; the
+            # forward gathers embedding rows from it (tied weights,
+            # reference: LlamaModel.cs:64-67)
+            embed = None
+            lm_head = mat("token_embd.weight")
+        else:
+            embed = g.tensor_f32("token_embd.weight").astype(dtype)
+            lm_head = np.ascontiguousarray(
+                g.tensor_f32("token_embd.weight").T
+            ).astype(dtype)
     else:
+        embed = g.tensor_f32("token_embd.weight").astype(dtype)
         lm_head = mat("output.weight")
 
     if "rope_freqs.weight" in g.tensors:
@@ -181,41 +245,82 @@ def load_params(
 # forward pass
 
 
+# decode attention implementation: "auto" uses the flash-decode Pallas kernel
+# on TPU backends (single-token queries); "xla" forces the einsum path (CPU
+# tests, meshes pending shard_map integration); "paged" forces the kernel
+# even on CPU (interpret mode, parity tests). Module-level because it is read
+# at trace time, after the engine configures it.
+DECODE_ATTN_IMPL = "auto"
+
+PAGE_SIZE = 128  # decode kernel S-block granularity constraint
+
+
 def _cached_attention(
     q: jax.Array,  # [B, T, Hq, D]
-    k_cache: jax.Array,  # [B, S, Hkv, D]
-    v_cache: jax.Array,  # [B, S, Hkv, D]
+    k_cache: jax.Array,  # [Hkv, B, S, D]
+    v_cache: jax.Array,  # [Hkv, B, S, D]
     positions: jax.Array,  # [B, T] absolute positions of q tokens
 ) -> jax.Array:
     """Attention of new tokens against the (just-updated) cache.
 
     Causal mask against absolute positions: cache slot s is visible to query
     at position p iff s <= p. Slots beyond the written length have s > p for
-    every query, so they are masked implicitly.
+    every query, so they are masked implicitly. Single-token queries take the
+    fused paged-kernel path on TPU.
     """
     b, t, hq, d = q.shape
-    s = k_cache.shape[1]
-    hkv = k_cache.shape[2]
+    hkv, _, s, _ = k_cache.shape
+    use_paged = (
+        t == 1
+        and s % PAGE_SIZE == 0
+        and (
+            (DECODE_ATTN_IMPL == "auto" and jax.default_backend() != "cpu")
+            or DECODE_ATTN_IMPL == "paged"
+        )
+    )
+    if use_paged:
+        from ..ops.decode_attention import flash_decode_attention
+
+        out = flash_decode_attention(
+            q[:, 0],
+            k_cache,
+            v_cache,
+            positions[:, 0] + 1,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return out[:, None].astype(q.dtype)
     n_rep = hq // hkv
     scale = 1.0 / (d**0.5)
     qg = q.reshape(b, t, hkv, n_rep, d)
     logits = jnp.einsum(
-        "bthrd,bshd->bhrts", qg, k_cache, preferred_element_type=jnp.float32
+        "bthrd,hbsd->bhrts", qg, k_cache, preferred_element_type=jnp.float32
     )
     logits = logits * scale
     mask = jnp.arange(s)[None, None, :] <= positions[:, :, None]  # [B,T,S]
     logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("bhrts,bshd->bthrd", weights, v_cache)
+    out = jnp.einsum("bhrts,hbsd->bthrd", weights, v_cache)
     return out.reshape(b, t, hq, d)
 
 
-def _write_cache(cache: jax.Array, new: jax.Array, starts: jax.Array) -> jax.Array:
-    """Write new [B, T, H, D] into cache [B, S, H, D] at per-batch offsets."""
-    def upd(c, n, s):
-        return jax.lax.dynamic_update_slice(c, n, (s, 0, 0))
+def _write_cache(
+    cache: jax.Array, new: jax.Array, starts: jax.Array, uniform_start: bool
+) -> jax.Array:
+    """Write new [B, T, H, D] into cache [H, B, S, D] at per-batch offsets.
 
-    return jax.vmap(upd)(cache, new.astype(cache.dtype), starts)
+    With `uniform_start` (all sequences at the same position — single-request
+    generate, lockstep batches) this is one dynamic_update_slice, which XLA
+    reliably performs in place. The per-batch path vmaps the update (a
+    scatter; needed for continuous batching where offsets differ).
+    """
+    new = jnp.moveaxis(new.astype(cache.dtype), 2, 0)  # [H, B, T, D]
+    if uniform_start:
+        return jax.lax.dynamic_update_slice(cache, new, (0, 0, starts[0], 0))
+
+    def upd(c, n, s):  # c: [H, S, D], n: [H, T, D]
+        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+
+    return jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(cache, new, starts)
 
 
 def forward(
@@ -226,6 +331,7 @@ def forward(
     cache: KVCache,
     *,
     activation_dtype=None,
+    uniform_start: bool = True,
 ) -> tuple[jax.Array, KVCache]:
     """Run the transformer stack; returns (hidden [B,T,H], updated cache).
 
@@ -236,27 +342,33 @@ def forward(
     """
     b, t = tokens.shape
     if activation_dtype is None:
-        activation_dtype = params["embed"].dtype
-    h = jnp.take(params["embed"], tokens, axis=0).astype(activation_dtype)
+        activation_dtype = (
+            params["embed"].dtype if params["embed"] is not None else jnp.bfloat16
+        )
+    if params["embed"] is None:
+        # tied quantized table stored once in head layout; gather columns
+        h = dequant_gather(params["lm_head"], tokens, activation_dtype)
+    else:
+        h = jnp.take(params["embed"], tokens, axis=0).astype(activation_dtype)
     inv_freq = params["inv_freq"]
     starts = positions[:, 0]
 
     def layer_step(h, layer_in):
         lp, k_cache_l, v_cache_l = layer_in
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-        q = (x @ lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = (x @ lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = (x @ lp["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        q = linear(x, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = linear(x, lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = linear(x, lp["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
-        k_cache_l = _write_cache(k_cache_l, k, starts)
-        v_cache_l = _write_cache(v_cache_l, v, starts)
+        k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
+        v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
         attn = _cached_attention(q, k_cache_l, v_cache_l, positions)
         attn = attn.reshape(b, t, cfg.n_heads * cfg.head_dim)
-        h = (h + attn @ lp["wo"]).astype(activation_dtype)
+        h = (h + linear(attn, lp["wo"])).astype(activation_dtype)
         x = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
-        gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
-        h = (h + gated @ lp["w_down"]).astype(activation_dtype)
+        gated = jax.nn.silu(linear(x, lp["w_gate"])) * linear(x, lp["w_up"])
+        h = (h + linear(gated, lp["w_down"])).astype(activation_dtype)
         return h, (k_cache_l, v_cache_l)
 
     h, (new_k, new_v) = jax.lax.scan(
@@ -269,7 +381,7 @@ def forward(
 def logits_for(params: dict, hidden: jax.Array) -> jax.Array:
     """LM head (tied to embeddings when output.weight is absent,
     reference: LlamaModel.cs:64-67)."""
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    return linear(hidden, params["lm_head"]).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -305,7 +417,7 @@ def decode_step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "top_k"),
+    static_argnames=("cfg", "n_steps", "top_k", "uniform_start"),
     donate_argnames=("cache",),
 )
 def decode_loop(
@@ -319,6 +431,8 @@ def decode_loop(
     temperature: jax.Array | float = 0.0,
     top_k: int = 40,
     top_p: jax.Array | float = 0.95,
+    uniform_start: bool = True,
+    active: jax.Array | None = None,  # [B] bool; inactive slots emit pad
 ) -> tuple[jax.Array, jax.Array, KVCache, jax.Array]:
     """Generate `n_steps` tokens fully on device (no host sync per token).
 
@@ -331,10 +445,16 @@ def decode_loop(
 
     def body(carry, _):
         tok, pos, cache, key = carry
-        logits, cache = _decode_one(params, cfg, tok, pos, cache)
+        logits, cache = _decode_one(params, cfg, tok, pos, cache, uniform_start)
         key, sub = jax.random.split(key)
         nxt = sample_logits(logits, sub, temperature, top_k, top_p).astype(tok.dtype)
-        return (nxt, pos + 1, cache, key), tok
+        if active is not None:
+            # frozen slots keep emitting their token and never advance
+            nxt = jnp.where(active, nxt, tok)
+            pos_next = jnp.where(active, pos + 1, pos)
+        else:
+            pos_next = pos + 1
+        return (nxt, pos_next, cache, key), tok
 
     (next_tok, _, cache, key), toks = jax.lax.scan(
         body, (first_tokens, start_pos, cache, key), length=n_steps
@@ -342,6 +462,37 @@ def decode_loop(
     return jnp.moveaxis(toks, 0, 1), next_tok, cache, key
 
 
-def _decode_one(params, cfg, tokens, positions, cache):
-    h, cache = forward(params, cfg, tokens[:, None], positions[:, None], cache)
+def _decode_one(params, cfg, tokens, positions, cache, uniform_start=True):
+    h, cache = forward(
+        params, cfg, tokens[:, None], positions[:, None], cache,
+        uniform_start=uniform_start,
+    )
     return logits_for(params, h)[:, 0, :], cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill_slot_step(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [1, T_chunk]
+    positions: jax.Array,  # [1, T_chunk]
+    last_index: jax.Array,  # [1]
+    cache: KVCache,  # full batched cache [L, H, B, S, D]
+    slot: jax.Array,  # scalar: which batch slot to prefill into
+) -> tuple[jax.Array, KVCache]:
+    """Prefill one sequence into batch slot `slot` of a shared cache.
+
+    Continuous batching admits requests one at a time while other slots keep
+    their decoded state: the slot's cache lane is sliced out, the chunk runs
+    as a batch-1 forward, and the lane is written back.
+    """
+    k_slot = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=2)
+    v_slot = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=2)
+    h, slot_cache = forward(
+        params, cfg, tokens, positions, KVCache(k_slot, v_slot)
+    )
+    h_last = jnp.take_along_axis(h, last_index[:, None, None], axis=1)
+    logits = logits_for(params, h_last)[:, 0, :]
+    k = jax.lax.dynamic_update_slice_in_dim(cache.k, slot_cache.k, slot, axis=2)
+    v = jax.lax.dynamic_update_slice_in_dim(cache.v, slot_cache.v, slot, axis=2)
+    return logits, KVCache(k, v)

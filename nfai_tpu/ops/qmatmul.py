@@ -1,0 +1,221 @@
+"""Fused dequant-matmul Pallas kernels: y = x @ W with W quantized in HBM.
+
+This is the TPU replacement for the reference's FP32 matvec shader
+(``NFAI.Vulkan.Shaders/MatrixMultiplyShader.cs:255-289``) — there, weights
+were eagerly widened to FP32 on upload (AbstractComputeCollection.cs:62-77);
+here they stream from HBM in their quantized form and are dequantized in VMEM
+inside the matmul k-loop, cutting decode HBM traffic ~2x (Q8_0) to ~3.5x
+(Q4_K) versus bf16 weights.
+
+Kernel structure (per ops.qtensor layouts):
+- grid (N/TN, K-tiles) — N parallel, K a sequential reduction with an f32
+  VMEM accumulator;
+- 8-bit: w_tile = int8[TK, TN] -> bf16 * repeat(scales, 32);
+- 4-bit: byte tile uint8[TKB, TN] unpacks to two contiguous k-ranges (low
+  nibbles -> k, high -> k + K/2), each matmul'd against its own x slice;
+- affine kinds: the per-block `mins` term is *not* in the kernel; it is the
+  rank-1-per-block correction  y -= bsums @ mins  with
+  bsums[b, kb] = sum of x[b, 32kb:32kb+32] (see `mins_correction`).
+
+All matmuls specify preferred_element_type=f32 (MXU accumulates in f32).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .qtensor import QBLOCK, QTensor, dequant_qtensor
+
+
+def _interpret() -> bool:
+    # Pallas TPU kernels run in interpreter mode on CPU (tests / fallback)
+    return jax.default_backend() == "cpu"
+
+
+def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
+    """(TK, TN) tile sizes in k/n elements. K tiles run the reduction.
+    Falls back to full-dim tiles for small/odd shapes (tiny test models)."""
+
+    def pick(dim, prefs):
+        for p in prefs:
+            if dim % p == 0:
+                return p
+        return dim
+
+    return pick(k, (512, 256, 128)), pick(n, (256, 128))
+
+
+# ---------------------------------------------------------------------------
+# 8-bit kernel
+
+
+def _expand_scales(sc):
+    """[TK/32, TN] -> [TK, TN], each row repeated 32x (block -> elements)."""
+    nb, tn = sc.shape
+    return jnp.broadcast_to(sc[:, None, :], (nb, QBLOCK, tn)).reshape(
+        nb * QBLOCK, tn
+    )
+
+
+def _q8_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    scales = _expand_scales(sc_ref[...])  # [TK, TN] f32
+    w = qs_ref[...].astype(jnp.float32) * scales
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _q8_matmul(x, qs, scales, out_dtype=jnp.bfloat16):
+    b, k = x.shape
+    n = qs.shape[1]
+    tk, tn = _pick_tiles(b, k, n)
+    grid = (n // tn, k // tk)
+    return pl.pallas_call(
+        _q8_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((b, tk), lambda j, kk: (0, kk)),
+                pl.BlockSpec((tk, tn), lambda j, kk: (kk, j)),
+                pl.BlockSpec((tk // QBLOCK, tn), lambda j, kk: (kk, j)),
+            ],
+            out_specs=pl.BlockSpec((b, tn), lambda j, kk: (0, j)),
+            scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n + (k // QBLOCK) * n * 4 + b * k * 2 + b * n * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, qs, scales)
+
+
+# ---------------------------------------------------------------------------
+# 4-bit kernel (split-half packed bytes)
+
+
+def _q4_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    byte = qs_ref[...]  # [TKB, TN] uint8
+    w_lo = (byte & 0x0F).astype(jnp.float32) * _expand_scales(sc_lo_ref[...])
+    w_hi = (byte >> 4).astype(jnp.float32) * _expand_scales(sc_hi_ref[...])
+    acc_ref[...] += jax.lax.dot(
+        x_lo_ref[...].astype(jnp.bfloat16),
+        w_lo.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] += jax.lax.dot(
+        x_hi_ref[...].astype(jnp.bfloat16),
+        w_hi.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _q4_matmul(x, qs, scales, out_dtype=jnp.bfloat16):
+    b, k = x.shape
+    n = qs.shape[1]
+    tkb, tn = _pick_tiles(b, k // 2, n)  # tile in byte rows
+    nk = (k // 2) // tkb  # number of k tiles (per half)
+    grid = (n // tn, nk)
+    return pl.pallas_call(
+        _q4_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                # x low half slice [B, TKB] at k-offset kk*TKB
+                pl.BlockSpec((b, tkb), lambda j, kk: (0, kk)),
+                # x high half slice at k-offset K/2 + kk*TKB
+                pl.BlockSpec((b, tkb), lambda j, kk, nk=nk: (0, kk + nk)),
+                pl.BlockSpec((tkb, tn), lambda j, kk: (kk, j)),
+                pl.BlockSpec((tkb // QBLOCK, tn), lambda j, kk: (kk, j)),
+                pl.BlockSpec(
+                    (tkb // QBLOCK, tn), lambda j, kk, nk=nk: (kk + nk, j)
+                ),
+            ],
+            out_specs=pl.BlockSpec((b, tn), lambda j, kk: (0, j)),
+            scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=(k // 2) * n + (k // QBLOCK) * n * 4 + b * k * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, x, qs, scales, scales)
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def mins_correction(x: jax.Array, mins: jax.Array) -> jax.Array:
+    """y -= bsums @ mins for affine kinds: the per-block min contributes
+    -min[kb, n] * sum(x block kb) to every output."""
+    b, k = x.shape
+    bsums = jnp.sum(
+        x.astype(jnp.float32).reshape(b, k // QBLOCK, QBLOCK), axis=-1
+    )
+    return jax.lax.dot(
+        bsums, mins, preferred_element_type=jnp.float32
+    )
+
+
+def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
+    """x [..., K] @ quantized W [K, N] → [..., N] (bf16).
+
+    `use_kernel=False` uses the XLA fallback (dense dequant then matmul) —
+    the correctness reference; the Pallas path is the production one.
+    """
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, qt.k)
+    if not use_kernel:
+        out = (xb @ dequant_qtensor(qt)).astype(jnp.bfloat16)
+        return out.reshape(*lead, qt.n)
+    if qt.kind == "q8":
+        y = _q8_matmul(xb, qt.qs, qt.scales)
+    else:
+        y = _q4_matmul(xb, qt.qs, qt.scales)
+    if qt.mins is not None:
+        y = (y.astype(jnp.float32) - mins_correction(xb, qt.mins)).astype(y.dtype)
+    return y.reshape(*lead, qt.n)
+
+
+def linear(x: jax.Array, w) -> jax.Array:
+    """Dense or quantized matmul dispatch used by model forwards."""
+    if isinstance(w, QTensor):
+        return qmatmul(x, w)
+    return x @ w

@@ -1,0 +1,207 @@
+"""Device layouts for block-quantized weights (weights stay quantized in HBM).
+
+The GGUF on-disk block formats (nfai_tpu.gguf.quants) are repacked at load
+time into TPU-friendly arrays so the Pallas matmul kernels (ops.qmatmul) can
+fuse dequantization into the contraction:
+
+- weights are stored transposed to (K=in, N=out) — the GGUF quant blocks run
+  along K (ggml's contiguous ne[0] axis), so after transpose the per-32-block
+  scale for element (k, n) is ``scales[k // 32, n]``;
+- 8-bit kinds: ``qs`` int8 [K, N];
+- 4-bit kinds: ``qs`` uint8 [K/2, N] with **split-half packing** — byte (i, n)
+  holds k=i in its low nibble and k=i+K/2 in its high nibble, so a kernel
+  k-tile unpacks two *contiguous* k-ranges (no sublane interleave on TPU);
+- affine kinds (Q4_K's ``d*sc*q - dmin*m``, Q4_0's ``d*(q-8)``) are expressed
+  as ``value = scales*q - mins`` with precomputed effective per-block
+  scales/mins; the mins term is folded out of the kernel entirely via
+  per-block activation sums (see qmatmul.mins_correction).
+
+Reference parity note: the reference's only "quantized" path read Q8_0 as raw
+bytes + one trailing scale it never applied (NFAI.GGUF/Parser.cs:93-100,
+SURVEY.md §2.2). These layouts implement the real ggml semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.quants import _unpack_kquant_scales
+
+QBLOCK = 32  # scale granularity along K, shared by every supported kind
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qs", "scales", "mins"],
+    meta_fields=["kind", "k", "n"],
+)
+@dataclasses.dataclass
+class QTensor:
+    """A quantized (K, N) weight. `mins` is None for symmetric kinds."""
+
+    qs: jax.Array  # int8 [K, N] (8-bit) or uint8 [K//2, N] (4-bit)
+    scales: jax.Array  # f32 [K//32, N]
+    mins: jax.Array | None  # f32 [K//32, N] or None
+    kind: str  # "q8" | "q4"
+    k: int
+    n: int
+
+    @property
+    def shape(self):  # (in, out) like a dense (K, N) weight
+        return (self.k, self.n)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+    def hbm_bytes(self) -> int:
+        b = self.qs.size * self.qs.dtype.itemsize
+        b += self.scales.size * self.scales.dtype.itemsize
+        if self.mins is not None:
+            b += self.mins.size * self.mins.dtype.itemsize
+        return b
+
+
+# ---------------------------------------------------------------------------
+# integer-level GGUF block decoders (q values + effective scales/mins)
+
+
+def _q8_0_int(raw: np.ndarray, n_out: int, k_in: int):
+    blocks = raw.reshape(n_out * k_in // 32, 34)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32).reshape(n_out, k_in // 32)
+    q = blocks[:, 2:].view(np.int8).reshape(n_out, k_in)
+    return q, d, None
+
+
+def _q4_0_int(raw: np.ndarray, n_out: int, k_in: int):
+    blocks = raw.reshape(n_out * k_in // 32, 18)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32).reshape(n_out, k_in // 32)
+    qs = blocks[:, 2:18]
+    lo = qs & 0x0F
+    hi = qs >> 4
+    q = np.concatenate([lo, hi], axis=1).reshape(n_out, k_in)  # values 0..15
+    return q, d, 8.0 * d  # value = d*q - 8d
+
+
+def _q4_1_int(raw: np.ndarray, n_out: int, k_in: int):
+    blocks = raw.reshape(n_out * k_in // 32, 20)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32).reshape(n_out, k_in // 32)
+    m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32).reshape(n_out, k_in // 32)
+    qs = blocks[:, 4:20]
+    q = np.concatenate([qs & 0x0F, qs >> 4], axis=1).reshape(n_out, k_in)
+    return q, d, -m  # value = d*q + m = d*q - (-m)
+
+
+def _q4_k_int(raw: np.ndarray, n_out: int, k_in: int):
+    if k_in % 256:
+        raise ValueError(f"Q4_K requires the in-dim to be a multiple of 256, got {k_in}")
+    nb = n_out * k_in // 256
+    blocks = raw.reshape(nb, 144)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)  # (nb,1)
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mi = _unpack_kquant_scales(blocks[:, 4:16])  # (nb,8) ints
+    qs = blocks[:, 16:144].reshape(nb, 4, 32)
+    lo = qs & 0x0F
+    hi = qs >> 4
+    q = np.stack([lo, hi], axis=2).reshape(nb, 256)
+    eff_scale = (d * sc.astype(np.float32)).reshape(n_out, k_in // 256, 8)
+    eff_min = (dmin * mi.astype(np.float32)).reshape(n_out, k_in // 256, 8)
+    # expand 8 sub-blocks of 32 → per-32-block arrays
+    scales = eff_scale.reshape(n_out, k_in // 32)
+    mins = eff_min.reshape(n_out, k_in // 32)
+    return q.reshape(n_out, k_in), scales, mins
+
+
+_INT_DECODERS = {
+    GGMLType.Q8_0: ("q8", _q8_0_int),
+    GGMLType.Q4_0: ("q4", _q4_0_int),
+    GGMLType.Q4_1: ("q4", _q4_1_int),
+    GGMLType.Q4_K: ("q4", _q4_k_int),
+}
+
+SUPPORTED_QUANT_TYPES = frozenset(_INT_DECODERS)
+
+
+def pack_gguf_tensor(
+    raw: np.ndarray,
+    ggml_type: GGMLType,
+    shape_out_in: tuple[int, int],
+    device_put: bool = True,
+) -> QTensor:
+    """Repack a GGUF matmul weight (numpy shape (N_out, K_in)) for the TPU
+    kernels. Raises KeyError for unsupported kinds (caller falls back to
+    dense dequantized weights)."""
+    n_out, k_in = shape_out_in
+    kind, decode = _INT_DECODERS[ggml_type]
+    q, scales, mins = decode(np.ascontiguousarray(raw).view(np.uint8), n_out, k_in)
+
+    scales_t = np.ascontiguousarray(scales.T, dtype=np.float32)  # [K/32, N]
+    mins_t = (
+        np.ascontiguousarray(mins.T, dtype=np.float32) if mins is not None else None
+    )
+    if kind == "q8":
+        qs_t = np.ascontiguousarray(q.T, dtype=np.int8)  # [K, N]
+    else:
+        if k_in % 64:
+            raise ValueError(f"4-bit packing requires K % 64 == 0, got {k_in}")
+        qt = q.T.astype(np.uint8)  # [K, N], values 0..15
+        half = k_in // 2
+        qs_t = np.ascontiguousarray(qt[:half] | (qt[half:] << 4))  # [K/2, N]
+
+    def put(a):
+        return jnp.asarray(a) if (device_put and a is not None) else a
+
+    return QTensor(
+        qs=put(qs_t),
+        scales=put(scales_t),
+        mins=put(mins_t) if mins_t is not None else None,
+        kind=kind,
+        k=k_in,
+        n=n_out,
+    )
+
+
+# ---------------------------------------------------------------------------
+# dequantization (reference path + embedding gather)
+
+
+def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Full dense [K, N] dequantization (reference implementation for tests
+    and the XLA fallback path)."""
+    scales = jnp.repeat(qt.scales, QBLOCK, axis=0)  # [K, N]
+    if qt.kind == "q8":
+        w = qt.qs.astype(jnp.float32) * scales
+    else:
+        lo = (qt.qs & 0x0F).astype(jnp.float32)
+        hi = (qt.qs >> 4).astype(jnp.float32)
+        q = jnp.concatenate([lo, hi], axis=0)  # [K, N] (split-half order)
+        w = q * scales
+    if qt.mins is not None:
+        w = w - jnp.repeat(qt.mins, QBLOCK, axis=0)
+    return w.astype(dtype)
+
+
+def dequant_gather(qt: QTensor, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Embedding lookup from a head-layout QTensor: rows of W^T, i.e. columns
+    of the [K, N] tensor. token_ids [...] → [..., K]. Used when the embedding
+    table is stored quantized in LM-head layout (tied weights,
+    reference: LlamaModel.cs:64-67)."""
+    cols_q = jnp.take(qt.qs, token_ids, axis=1)  # [K(/2), ...]
+    cols_q = jnp.moveaxis(cols_q, 0, -1)  # [..., K(/2)]
+    scales = jnp.moveaxis(jnp.take(qt.scales, token_ids, axis=1), 0, -1)
+    scales = jnp.repeat(scales, QBLOCK, axis=-1)  # [..., K]
+    if qt.kind == "q8":
+        w = cols_q.astype(jnp.float32) * scales
+    else:
+        lo = (cols_q & 0x0F).astype(jnp.float32)
+        hi = (cols_q >> 4).astype(jnp.float32)
+        w = jnp.concatenate([lo, hi], axis=-1) * scales
+    if qt.mins is not None:
+        mins = jnp.moveaxis(jnp.take(qt.mins, token_ids, axis=1), 0, -1)
+        w = w - jnp.repeat(mins, QBLOCK, axis=-1)
+    return w.astype(dtype)

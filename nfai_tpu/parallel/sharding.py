@@ -63,8 +63,8 @@ def llama_param_shardings(mesh: Mesh) -> dict:
 
 
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    """[L, B, S, H_kv, D] — batch over dp, kv heads over tp."""
-    return NamedSharding(mesh, P(None, DP_AXIS, None, TP_AXIS, None))
+    """[L, H_kv, B, S, D] — kv heads over tp, batch over dp."""
+    return NamedSharding(mesh, P(None, TP_AXIS, DP_AXIS, None, None))
 
 
 def token_sharding(mesh: Mesh) -> NamedSharding:

@@ -94,7 +94,12 @@ class InferenceEngine:
             )
             self.params = jax.device_put(params_np, llama_param_shardings(self.mesh))
         else:
-            self.params = self.family.load_params(g, self.model_cfg, dtype=dtype)
+            # param_dtype="auto" keeps supported GGUF quantizations in HBM
+            # (fused dequant-matmul kernels); anything else dequantizes
+            quantized = "auto" if self.config.param_dtype == "auto" else False
+            self.params = self.family.load_params(
+                g, self.model_cfg, dtype=dtype, quantized=quantized
+            )
         log.info(
             "loaded %s (%d layers, %d-dim) in %.2fs",
             self.model_name,

@@ -1,0 +1,277 @@
+"""Continuous batching: slot-based scheduler admitting/evicting requests
+between fused decode chunks.
+
+The reference serves exactly one request at a time with batch size 1
+(SURVEY.md §2.7 "none — batch size 1 everywhere"); this scheduler runs up to
+`max_batch` requests in lockstep decode, prefilling new arrivals into freed
+slots between chunks. Decode uses per-slot positions (the non-uniform cache
+write path) and per-slot sampling parameters; finished slots are masked
+`active=False` so their lanes neither advance nor corrupt the cache.
+"""
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SamplingParams
+from ..models.llama import decode_loop, prefill_slot_step
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_END = object()  # stream sentinel
+
+
+class RequestState(Enum):
+    QUEUED = "queued"
+    RUNNING = "running"
+    FINISHED = "finished"
+    FAILED = "failed"
+
+
+@dataclass
+class Request:
+    """One generation request; tokens stream into `out`."""
+
+    id: int
+    prompt_ids: list[int]
+    sampling: SamplingParams
+    state: RequestState = RequestState.QUEUED
+    output_ids: list[int] = field(default_factory=list)
+    out: queue.Queue = field(default_factory=queue.Queue)
+    submitted_at: float = field(default_factory=time.perf_counter)
+    first_token_at: float | None = None
+    finished_at: float | None = None
+
+    def stream(self, timeout: float | None = None) -> Iterator[int]:
+        """Yield generated token ids as they arrive (blocking iterator)."""
+        while True:
+            item = self.out.get(timeout=timeout)
+            if item is _END:
+                return
+            yield item
+
+    @property
+    def ttft_s(self) -> float | None:
+        if self.first_token_at is None:
+            return None
+        return self.first_token_at - self.submitted_at
+
+
+@dataclass
+class _Slot:
+    request: Request | None = None
+    pos: int = 0  # tokens with KV written
+    budget: int = 0  # max tokens this request may still emit
+    next_token: int = 0  # token sampled but not yet fed through the model
+
+
+class BatchEngine:
+    """Continuous-batching executor over an `InferenceEngine`'s model.
+
+    Drive it synchronously with `step()` (tests, embedding) or start the
+    background thread with `start()` (server). Thread-safety: `submit` may be
+    called from any thread; `step` must run on one thread only.
+    """
+
+    def __init__(self, engine, max_batch: int = 8, decode_chunk: int = 8):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.decode_chunk = decode_chunk
+        self.slots = [_Slot() for _ in range(max_batch)]
+        self.cache = engine.new_cache(max_batch)
+        self.queue: queue.Queue[Request] = queue.Queue()
+        self._ids = itertools.count()
+        self._key = jax.random.PRNGKey(0)
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        # top_k is static in the sampling kernel; use one global width and
+        # apply per-request top_k by masking within it
+        self.top_k = 64
+
+    # -- client API --------------------------------------------------------
+    def submit(
+        self, prompt_ids: Sequence[int], sampling: SamplingParams | None = None
+    ) -> Request:
+        req = Request(
+            id=next(self._ids),
+            prompt_ids=list(prompt_ids),
+            sampling=sampling or SamplingParams(),
+        )
+        max_prompt = self.engine.max_seq_len - 1
+        if len(req.prompt_ids) > max_prompt:
+            req.state = RequestState.FAILED
+            req.out.put(_END)
+            raise ValueError(
+                f"prompt of {len(req.prompt_ids)} tokens exceeds capacity "
+                f"{max_prompt}"
+            )
+        self.queue.put(req)
+        return req
+
+    # -- scheduler ---------------------------------------------------------
+    def _admit(self) -> None:
+        for i, slot in enumerate(self.slots):
+            if slot.request is not None:
+                continue
+            try:
+                req = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            self._prefill_into(i, req)
+
+    def _prefill_into(self, slot_idx: int, req: Request) -> None:
+        eng = self.engine
+        ids = np.asarray(req.prompt_ids, np.int32)
+        pos = 0
+        logits = None
+        chunk_cap = eng.config.prefill_chunk
+        while pos < ids.size:
+            take = min(chunk_cap, ids.size - pos)
+            bucket = min(_next_bucket(take, chunk_cap), eng.max_seq_len - pos)
+            chunk = np.zeros(bucket, np.int32)
+            chunk[:take] = ids[pos : pos + take]
+            positions = np.arange(pos, pos + bucket, dtype=np.int32)
+            logits, self.cache = prefill_slot_step(
+                eng.params,
+                eng.model_cfg,
+                jnp.asarray(chunk[None, :]),
+                jnp.asarray(positions[None, :]),
+                jnp.asarray([take - 1], jnp.int32),
+                self.cache,
+                jnp.int32(slot_idx),
+            )
+            pos += take
+        self._key, sub = jax.random.split(self._key)
+        from ..ops.sampling import sample_logits
+
+        s = req.sampling
+        tok = int(
+            sample_logits(logits, sub, s.temperature, min(s.top_k, self.top_k), s.top_p)[0]
+        )
+        slot = self.slots[slot_idx]
+        slot.request = req
+        slot.pos = ids.size
+        slot.budget = min(
+            s.max_new_tokens, self.engine.max_seq_len - ids.size
+        )
+        slot.next_token = tok
+        req.state = RequestState.RUNNING
+        self._emit(slot_idx, [tok])
+
+    def _emit(self, slot_idx: int, tokens: list[int]) -> None:
+        """Push tokens to the request stream; finish on EOS/budget."""
+        slot = self.slots[slot_idx]
+        req = slot.request
+        tok_eos = self.engine.tokenizer.is_eos
+        for t in tokens:
+            if req.first_token_at is None:
+                req.first_token_at = time.perf_counter()
+            if tok_eos(t) or slot.budget <= 0:
+                self._finish(slot_idx)
+                return
+            req.output_ids.append(t)
+            req.out.put(t)
+            slot.budget -= 1
+        if slot.budget <= 0:
+            self._finish(slot_idx)
+
+    def _finish(self, slot_idx: int) -> None:
+        slot = self.slots[slot_idx]
+        req = slot.request
+        req.state = RequestState.FINISHED
+        req.finished_at = time.perf_counter()
+        req.out.put(_END)
+        self.slots[slot_idx] = _Slot()
+
+    def step(self) -> int:
+        """One scheduler iteration: admit, then one fused decode chunk.
+        Returns the number of active requests after the step."""
+        self._admit()
+        active_idx = [i for i, s in enumerate(self.slots) if s.request is not None]
+        if not active_idx:
+            return 0
+        max_seq = self.engine.max_seq_len
+        # the chunk length must fit the tightest slot's remaining cache room
+        # (KV writes past max_seq would clamp-shift and corrupt the lane)
+        n = min(
+            self.decode_chunk,
+            min(max_seq - self.slots[i].pos for i in active_idx),
+        )
+        B = self.max_batch
+        tokens = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        active = np.zeros(B, bool)
+        temps = np.zeros(B, np.float32)
+        top_ps = np.ones(B, np.float32)
+        for i in active_idx:
+            s = self.slots[i]
+            tokens[i] = s.next_token
+            positions[i] = s.pos
+            active[i] = True
+            temps[i] = s.request.sampling.temperature
+            top_ps[i] = s.request.sampling.top_p
+        self._key, sub = jax.random.split(self._key)
+        toks, nxt, self.cache, _ = decode_loop(
+            self.engine.params,
+            self.engine.model_cfg,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            self.cache,
+            sub,
+            n,
+            jnp.asarray(temps),
+            self.top_k,
+            jnp.asarray(top_ps),
+            uniform_start=False,
+            active=jnp.asarray(active),
+        )
+        toks_host = np.asarray(toks)
+        nxt_host = np.asarray(nxt)
+        for i in active_idx:
+            slot = self.slots[i]
+            # toks[i] = [prev next_token (already emitted), t1, ..., t_{n-1}];
+            # fresh tokens for the stream are t1..t_{n-1} plus the new tail
+            fresh = [int(t) for t in toks_host[i][1:]] + [int(nxt_host[i])]
+            slot.pos += n
+            slot.next_token = int(nxt_host[i])
+            self._emit(i, fresh)
+            if self.slots[i].request is not None and slot.pos >= max_seq:
+                self._finish(i)  # out of cache room
+        return sum(1 for s in self.slots if s.request is not None)
+
+    # -- background driving -------------------------------------------------
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            n = self.step()
+            if n == 0:
+                time.sleep(0.002)
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+
+def _next_bucket(n: int, cap: int) -> int:
+    for b in (16, 32, 64, 128, 256, 512, 1024, 2048):
+        if n <= b and b <= cap:
+            return b
+    return cap

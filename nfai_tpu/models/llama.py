@@ -270,11 +270,18 @@ def _cached_attention(
     """
     b, t, hq, d = q.shape
     hkv, _, s, _ = k_cache.shape
+    # heuristic: the fused kernel wins on long caches (launch overhead is
+    # amortized over S); XLA's fused einsum wins at short S (measured
+    # crossover ~2k slots on v5e for 1B shapes)
     use_paged = (
         t == 1
         and s % PAGE_SIZE == 0
         and (
-            (DECODE_ATTN_IMPL == "auto" and jax.default_backend() != "cpu")
+            (
+                DECODE_ATTN_IMPL == "auto"
+                and jax.default_backend() != "cpu"
+                and s >= 2048
+            )
             or DECODE_ATTN_IMPL == "paged"
         )
     )

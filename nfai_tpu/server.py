@@ -1,0 +1,304 @@
+"""HTTP inference server (OpenAI-style API) over the continuous-batching engine.
+
+Parity target: the reference's only host is a console REPL
+(``NFAI/ChatService.cs``); its streaming contract is
+``IInferenceProvider.GetStreamingResponseAsync`` (``IInferenceProvider.cs:12``).
+This server exposes that capability over HTTP for production serving:
+
+- ``POST /v1/chat/completions`` — messages in, completion out; with
+  ``"stream": true`` responds with SSE chunks (OpenAI wire format)
+- ``POST /v1/completions`` — raw prompt in, text out
+- ``GET  /healthz`` — liveness + model info
+- ``GET  /v1/models`` — model listing
+
+Stdlib-only (ThreadingHTTPServer); concurrency comes from the BatchEngine's
+continuous batching, not from model-per-thread.
+
+Usage:
+    python -m nfai_tpu.server --gguf model.gguf --port 8000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .config import EngineConfig, SamplingParams
+from .runtime.engine import InferenceEngine
+from .runtime.scheduler import BatchEngine
+from .tokenizer import Message, StreamDetokenizer
+from .utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+class ServerState:
+    def __init__(self, engine: InferenceEngine, batch: BatchEngine):
+        self.engine = engine
+        self.batch = batch
+        self.started_at = time.time()
+        self.requests_served = 0
+        self.lock = threading.Lock()
+
+
+def _sampling_from_body(body: dict) -> SamplingParams:
+    return SamplingParams(
+        temperature=float(body.get("temperature", 0.5)),
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        seed=body.get("seed"),
+        max_new_tokens=int(
+            body.get("max_tokens") or body.get("max_completion_tokens") or 512
+        ),
+    )
+
+
+def make_handler(state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to our logger
+            log.debug("%s " + fmt, self.address_string(), *args)
+
+        # -- helpers -------------------------------------------------------
+        def _json(self, code: int, obj: dict):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _error(self, code: int, message: str):
+            self._json(code, {"error": {"message": message, "code": code}})
+
+        def _body(self) -> dict:
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                raise ValueError("empty request body")
+            raw = self.rfile.read(length)
+            return json.loads(raw)
+
+        # -- routes --------------------------------------------------------
+        def do_GET(self):
+            if self.path == "/healthz":
+                eng = state.engine
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "model": eng.model_name,
+                        "uptime_s": round(time.time() - state.started_at, 1),
+                        "requests_served": state.requests_served,
+                        "max_batch": state.batch.max_batch,
+                        "max_seq_len": eng.max_seq_len,
+                    },
+                )
+            elif self.path == "/v1/models":
+                self._json(
+                    200,
+                    {
+                        "object": "list",
+                        "data": [
+                            {
+                                "id": state.engine.model_name,
+                                "object": "model",
+                                "owned_by": "nfai_tpu",
+                            }
+                        ],
+                    },
+                )
+            else:
+                self._error(404, f"no route {self.path}")
+
+        def do_POST(self):
+            try:
+                if self.path == "/v1/chat/completions":
+                    self._chat()
+                elif self.path == "/v1/completions":
+                    self._completions()
+                else:
+                    self._error(404, f"no route {self.path}")
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._error(400, f"bad request: {e}")
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # noqa: BLE001 - report, don't kill server
+                log.exception("request failed")
+                try:
+                    self._error(500, str(e))
+                except Exception:
+                    pass
+
+        # -- endpoints -----------------------------------------------------
+        def _chat(self):
+            body = self._body()
+            messages = [
+                Message(str(m["role"]), str(m["content"]))
+                for m in body.get("messages", [])
+            ]
+            if not messages:
+                raise ValueError("messages must be a non-empty list")
+            eng = state.engine
+            prompt = eng.chat_template.render(messages, add_generation_prompt=True)
+            ids = eng.tokenizer.encode(prompt, add_bos=False)
+            self._generate(body, ids, chat=True)
+
+        def _completions(self):
+            body = self._body()
+            prompt = body.get("prompt")
+            if not isinstance(prompt, str):
+                raise ValueError("prompt must be a string")
+            ids = state.engine.tokenizer.encode(prompt)
+            self._generate(body, ids, chat=False)
+
+        def _generate(self, body: dict, prompt_ids: list[int], chat: bool):
+            eng = state.engine
+            sampling = _sampling_from_body(body)
+            req = state.batch.submit(prompt_ids, sampling)
+            with state.lock:
+                state.requests_served += 1
+            rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:16]}"
+            created = int(time.time())
+            obj = "chat.completion" if chat else "text_completion"
+            if body.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                # SSE body is delimited by connection close (no chunked framing)
+                self.send_header("Connection", "close")
+                self.close_connection = True
+                self.end_headers()
+                detok = StreamDetokenizer(eng.tokenizer)
+                for tok in req.stream(timeout=600):
+                    piece = detok.push(tok)
+                    if not piece:
+                        continue
+                    delta = (
+                        {"delta": {"content": piece}}
+                        if chat
+                        else {"text": piece}
+                    )
+                    chunk = {
+                        "id": rid,
+                        "object": obj + ".chunk" if chat else obj,
+                        "created": created,
+                        "model": eng.model_name,
+                        "choices": [{"index": 0, **delta, "finish_reason": None}],
+                    }
+                    self._sse(chunk)
+                tail = detok.flush()
+                if tail:
+                    delta = {"delta": {"content": tail}} if chat else {"text": tail}
+                    self._sse(
+                        {
+                            "id": rid,
+                            "object": obj + ".chunk" if chat else obj,
+                            "created": created,
+                            "model": eng.model_name,
+                            "choices": [{"index": 0, **delta, "finish_reason": None}],
+                        }
+                    )
+                self._sse(
+                    {
+                        "id": rid,
+                        "object": obj + ".chunk" if chat else obj,
+                        "created": created,
+                        "model": eng.model_name,
+                        "choices": [
+                            {
+                                "index": 0,
+                                **({"delta": {}} if chat else {"text": ""}),
+                                "finish_reason": "stop",
+                            }
+                        ],
+                    }
+                )
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            else:
+                tokens = list(req.stream(timeout=600))
+                text = eng.tokenizer.decode(tokens, skip_special=True)
+                content = (
+                    {"message": {"role": "assistant", "content": text}}
+                    if chat
+                    else {"text": text}
+                )
+                self._json(
+                    200,
+                    {
+                        "id": rid,
+                        "object": obj,
+                        "created": created,
+                        "model": eng.model_name,
+                        "choices": [
+                            {"index": 0, **content, "finish_reason": "stop"}
+                        ],
+                        "usage": {
+                            "prompt_tokens": len(prompt_ids),
+                            "completion_tokens": len(tokens),
+                            "total_tokens": len(prompt_ids) + len(tokens),
+                        },
+                    },
+                )
+
+        def _sse(self, obj: dict):
+            data = f"data: {json.dumps(obj)}\n\n".encode()
+            self.wfile.write(data)
+            self.wfile.flush()
+
+    return Handler
+
+
+def serve(
+    gguf: str,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    engine_config: EngineConfig | None = None,
+    max_batch: int = 8,
+) -> ThreadingHTTPServer:
+    engine = InferenceEngine(gguf, engine_config or EngineConfig(gguf_path=gguf))
+    batch = BatchEngine(engine, max_batch=max_batch)
+    batch.start()
+    state = ServerState(engine, batch)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.state = state  # for tests
+    log.info("serving %s on http://%s:%d", engine.model_name, host, port)
+    return httpd
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="nfai_tpu.server")
+    p.add_argument("--gguf", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-seq", type=int, default=512)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args(argv)
+    from .utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
+    httpd = serve(
+        args.gguf,
+        args.host,
+        args.port,
+        EngineConfig(gguf_path=args.gguf, max_seq_len=args.max_seq, dtype=args.dtype),
+        args.max_batch,
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.state.batch.close()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

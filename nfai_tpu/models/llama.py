@@ -46,6 +46,9 @@ class LlamaConfig:
     rope_original_ctx: int = 8192
     context_length: int = 8192
     tied_embeddings: bool = True
+    attn_bias: bool = False  # qwen2-style q/k/v biases
+    qk_norm: bool = False  # qwen3-style per-head q/k rmsnorm
+    rope_neox: bool = False  # ggml NEOX rope (qwen2/3) vs NORM (llama)
 
     @classmethod
     def from_gguf(cls, g: GGUFFile) -> "LlamaConfig":
@@ -83,6 +86,12 @@ class LlamaConfig:
             rope_original_ctx=int(key(Keys.ROPE_SCALING_ORIG_CTX, 8192)),
             context_length=int(key(Keys.CONTEXT_LENGTH, 8192)),
             tied_embeddings="output.weight" not in g.tensors,
+            attn_bias="blk.0.attn_q.bias" in g.tensors,
+            qk_norm="blk.0.attn_q_norm.weight" in g.tensors,
+            # ggml rope type is per-architecture: llama/mistral GGUFs carry
+            # the HF->ggml permutation (NORM, adjacent pairs); qwen-family
+            # checkpoints are unpermuted (NEOX, half-split pairs)
+            rope_neox=arch in ("qwen2", "qwen3"),
         )
 
 
@@ -122,6 +131,16 @@ _LAYER_TENSORS = {
     "w_gate": "blk.{i}.ffn_gate.weight",
     "w_up": "blk.{i}.ffn_up.weight",
     "w_down": "blk.{i}.ffn_down.weight",
+}
+
+# present only for some architectures (qwen2 biases, qwen3 q/k norms);
+# loaded when the config flags say so
+_OPTIONAL_LAYER_TENSORS = {
+    "wq_bias": ("blk.{i}.attn_q.bias", "attn_bias"),
+    "wk_bias": ("blk.{i}.attn_k.bias", "attn_bias"),
+    "wv_bias": ("blk.{i}.attn_v.bias", "attn_bias"),
+    "q_norm": ("blk.{i}.attn_q_norm.weight", "qk_norm"),
+    "k_norm": ("blk.{i}.attn_k_norm.weight", "qk_norm"),
 }
 
 
@@ -193,11 +212,15 @@ def load_params(
             )
         return np.stack(items)
 
-    layers: dict[str, list] = {k: [] for k in _LAYER_TENSORS}
+    templates = dict(_LAYER_TENSORS)
+    for key_name, (template, flag) in _OPTIONAL_LAYER_TENSORS.items():
+        if getattr(cfg, flag):
+            templates[key_name] = template
+    layers: dict[str, list] = {k: [] for k in templates}
     for i in range(cfg.n_layers):
-        for key_name, template in _LAYER_TENSORS.items():
+        for key_name, template in templates.items():
             t = template.format(i=i)
-            if key_name.endswith("norm"):
+            if key_name.endswith(("norm", "bias")):
                 layers[key_name].append(g.tensor_f32(t).astype(np.float32))
             else:
                 layers[key_name].append(mat(t))
@@ -363,11 +386,21 @@ def forward(
     def layer_step(h, layer_in):
         lp, k_cache_l, v_cache_l = layer_in
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-        q = linear(x, lp["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim)
-        k = linear(x, lp["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        v = linear(x, lp["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
+        q = linear(x, lp["wq"])
+        k = linear(x, lp["wk"])
+        v = linear(x, lp["wv"])
+        if cfg.attn_bias:
+            q = q + lp["wq_bias"].astype(q.dtype)
+            k = k + lp["wk_bias"].astype(k.dtype)
+            v = v + lp["wv_bias"].astype(v.dtype)
+        q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
+        k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
+        if cfg.qk_norm:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, positions, inv_freq, neox=cfg.rope_neox)
+        k = apply_rope(k, positions, inv_freq, neox=cfg.rope_neox)
         k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
         v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
         attn = _cached_attention(q, k_cache_l, v_cache_l, positions)

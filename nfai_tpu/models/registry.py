@@ -49,10 +49,15 @@ def resolve(g: GGUFFile) -> ModelFamily:
 
 # -- built-in families -------------------------------------------------------
 
+# architectures whose GGUF tensor schema is the llama layout, plus optional
+# per-arch extras handled by config flags (qwen2 attn biases, qwen3 q/k norms)
+LLAMA_LIKE_ARCHS = frozenset({"llama", "mistral", "qwen2", "qwen3"})
 
-@register_family(lambda g: g.architecture == "llama")
+
+@register_family(lambda g: g.architecture in LLAMA_LIKE_ARCHS)
 class LlamaFamily:
-    """Llama 2/3.x dense models (reference scope: LlamaModelFactory.cs:36-41)."""
+    """Llama 2/3.x + Mistral + Qwen2/3 dense models
+    (reference scope was llama-only: LlamaModelFactory.cs:36-41)."""
 
     def config_from_gguf(self, g: GGUFFile):
         from .llama import LlamaConfig

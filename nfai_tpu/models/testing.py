@@ -48,6 +48,7 @@ def tiny_tokenizer_metadata() -> dict:
 def make_tiny_llama_gguf(
     path: str | Path,
     *,
+    arch: str = "llama",
     vocab_size: int | None = None,
     hidden: int = 64,
     n_layers: int = 2,
@@ -58,10 +59,12 @@ def make_tiny_llama_gguf(
     rope_base: float = 10000.0,
     quant: GGMLType = GGMLType.F32,
     tied: bool = True,
+    attn_bias: bool = False,
+    qk_norm: bool = False,
     seed: int = 0,
     scale: float = 0.05,
 ) -> Path:
-    """Write a random-weight Llama GGUF; returns the path."""
+    """Write a random-weight llama-schema GGUF (llama/mistral/qwen2/qwen3)."""
     rng = np.random.default_rng(seed)
     tok_md = tiny_tokenizer_metadata()
     if vocab_size is None:
@@ -72,17 +75,17 @@ def make_tiny_llama_gguf(
     head_dim = hidden // n_heads
 
     w = GGUFWriter()
-    w.add(Keys.ARCHITECTURE, "llama")
-    w.add(Keys.NAME, "tiny-llama-test")
-    w.add("llama.context_length", context_length)
-    w.add("llama.embedding_length", hidden)
-    w.add("llama.block_count", n_layers)
-    w.add("llama.feed_forward_length", ffn_dim)
-    w.add("llama.attention.head_count", n_heads)
-    w.add("llama.attention.head_count_kv", n_kv_heads)
-    w.add("llama.attention.layer_norm_rms_epsilon", 1e-5)
-    w.add("llama.rope.freq_base", rope_base)
-    w.add("llama.vocab_size", vocab_size)
+    w.add(Keys.ARCHITECTURE, arch)
+    w.add(Keys.NAME, f"tiny-{arch}-test")
+    w.add(f"{arch}.context_length", context_length)
+    w.add(f"{arch}.embedding_length", hidden)
+    w.add(f"{arch}.block_count", n_layers)
+    w.add(f"{arch}.feed_forward_length", ffn_dim)
+    w.add(f"{arch}.attention.head_count", n_heads)
+    w.add(f"{arch}.attention.head_count_kv", n_kv_heads)
+    w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add(f"{arch}.rope.freq_base", rope_base)
+    w.add(f"{arch}.vocab_size", vocab_size)
     for k, v in tok_md.items():
         w.add(k, v)
 
@@ -99,6 +102,21 @@ def make_tiny_llama_gguf(
         addw(f"blk.{i}.attn_k.weight", rand(n_kv_heads * head_dim, hidden))
         addw(f"blk.{i}.attn_v.weight", rand(n_kv_heads * head_dim, hidden))
         addw(f"blk.{i}.attn_output.weight", rand(hidden, n_heads * head_dim))
+        if attn_bias:
+            addw(f"blk.{i}.attn_q.bias", rand(n_heads * head_dim), GGMLType.F32)
+            addw(f"blk.{i}.attn_k.bias", rand(n_kv_heads * head_dim), GGMLType.F32)
+            addw(f"blk.{i}.attn_v.bias", rand(n_kv_heads * head_dim), GGMLType.F32)
+        if qk_norm:
+            addw(
+                f"blk.{i}.attn_q_norm.weight",
+                1.0 + rand(head_dim),
+                GGMLType.F32,
+            )
+            addw(
+                f"blk.{i}.attn_k_norm.weight",
+                1.0 + rand(head_dim),
+                GGMLType.F32,
+            )
         addw(f"blk.{i}.ffn_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
         addw(f"blk.{i}.ffn_gate.weight", rand(ffn_dim, hidden))
         addw(f"blk.{i}.ffn_up.weight", rand(ffn_dim, hidden))

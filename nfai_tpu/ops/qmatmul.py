@@ -53,20 +53,20 @@ def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
 # 8-bit kernel
 
 
-def _expand_scales(sc):
-    """[TK/32, TN] -> [TK, TN], each row repeated 32x (block -> elements)."""
+def _expand_scales(sc, group=QBLOCK):
+    """[TK/g, TN] -> [TK, TN], each row repeated g times (block -> elements)."""
     nb, tn = sc.shape
-    return jnp.broadcast_to(sc[:, None, :], (nb, QBLOCK, tn)).reshape(
-        nb * QBLOCK, tn
+    return jnp.broadcast_to(sc[:, None, :], (nb, group, tn)).reshape(
+        nb * group, tn
     )
 
 
-def _q8_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref):
+def _q8_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, group):
     @pl.when(pl.program_id(1) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    scales = _expand_scales(sc_ref[...])  # [TK, TN] f32
+    scales = _expand_scales(sc_ref[...], group)  # [TK, TN] f32
     w = qs_ref[...].astype(jnp.float32) * scales
     acc_ref[...] += jax.lax.dot(
         x_ref[...].astype(jnp.bfloat16),
@@ -79,14 +79,14 @@ def _q8_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
-def _q8_matmul(x, qs, scales, out_dtype=jnp.bfloat16):
+@functools.partial(jax.jit, static_argnames=("out_dtype", "group"))
+def _q8_matmul(x, qs, scales, out_dtype=jnp.bfloat16, group=QBLOCK):
     b, k = x.shape
     n = qs.shape[1]
     tk, tn = _pick_tiles(b, k, n)
     grid = (n // tn, k // tk)
     return pl.pallas_call(
-        _q8_kernel,
+        functools.partial(_q8_kernel, group=group),
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -94,7 +94,7 @@ def _q8_matmul(x, qs, scales, out_dtype=jnp.bfloat16):
             in_specs=[
                 pl.BlockSpec((b, tk), lambda j, kk: (0, kk)),
                 pl.BlockSpec((tk, tn), lambda j, kk: (kk, j)),
-                pl.BlockSpec((tk // QBLOCK, tn), lambda j, kk: (kk, j)),
+                pl.BlockSpec((tk // group, tn), lambda j, kk: (kk, j)),
             ],
             out_specs=pl.BlockSpec((b, tn), lambda j, kk: (0, j)),
             scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
@@ -104,7 +104,7 @@ def _q8_matmul(x, qs, scales, out_dtype=jnp.bfloat16):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
-            bytes_accessed=k * n + (k // QBLOCK) * n * 4 + b * k * 2 + b * n * 2,
+            bytes_accessed=k * n + (k // group) * n * 4 + b * k * 2 + b * n * 2,
             transcendentals=0,
         ),
         interpret=_interpret(),
@@ -182,12 +182,12 @@ def _q4_matmul(x, qs, scales, out_dtype=jnp.bfloat16):
 # public API
 
 
-def mins_correction(x: jax.Array, mins: jax.Array) -> jax.Array:
+def mins_correction(x: jax.Array, mins: jax.Array, group: int = QBLOCK) -> jax.Array:
     """y -= bsums @ mins for affine kinds: the per-block min contributes
     -min[kb, n] * sum(x block kb) to every output."""
     b, k = x.shape
     bsums = jnp.sum(
-        x.astype(jnp.float32).reshape(b, k // QBLOCK, QBLOCK), axis=-1
+        x.astype(jnp.float32).reshape(b, k // group, group), axis=-1
     )
     return jax.lax.dot(
         bsums, mins, preferred_element_type=jnp.float32
@@ -206,11 +206,11 @@ def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
         out = (xb @ dequant_qtensor(qt)).astype(jnp.bfloat16)
         return out.reshape(*lead, qt.n)
     if qt.kind == "q8":
-        y = _q8_matmul(xb, qt.qs, qt.scales)
+        y = _q8_matmul(xb, qt.qs, qt.scales, group=qt.group)
     else:
         y = _q4_matmul(xb, qt.qs, qt.scales)
     if qt.mins is not None:
-        y = (y.astype(jnp.float32) - mins_correction(xb, qt.mins)).astype(y.dtype)
+        y = (y.astype(jnp.float32) - mins_correction(xb, qt.mins, qt.group)).astype(y.dtype)
     return y.reshape(*lead, qt.n)
 
 

@@ -32,24 +32,29 @@ import numpy as np
 from ..gguf.constants import GGMLType
 from ..gguf.quants import _unpack_kquant_scales
 
-QBLOCK = 32  # scale granularity along K, shared by every supported kind
+QBLOCK = 32  # default scale granularity along K
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qs", "scales", "mins"],
-    meta_fields=["kind", "k", "n"],
+    meta_fields=["kind", "k", "n", "group"],
 )
 @dataclasses.dataclass
 class QTensor:
-    """A quantized (K, N) weight. `mins` is None for symmetric kinds."""
+    """A quantized (K, N) weight. `mins` is None for symmetric kinds.
 
-    qs: jax.Array  # int8 [K, N] (8-bit) or uint8 [K//2, N] (4-bit)
-    scales: jax.Array  # f32 [K//32, N]
-    mins: jax.Array | None  # f32 [K//32, N] or None
+    `group` is the per-scale block length along K (32 for the 32-block
+    formats and Q4_K/Q5_K super-block sub-blocks; 16 for Q2_K/Q3_K/Q6_K).
+    """
+
+    qs: jax.Array  # int8 [K, N] (8-bit container) or uint8 [K//2, N] (4-bit)
+    scales: jax.Array  # f32 [K//group, N]
+    mins: jax.Array | None  # f32 [K//group, N] or None
     kind: str  # "q8" | "q4"
     k: int
     n: int
+    group: int = QBLOCK
 
     @property
     def shape(self):  # (in, out) like a dense (K, N) weight
@@ -117,11 +122,97 @@ def _q4_k_int(raw: np.ndarray, n_out: int, k_in: int):
     return q.reshape(n_out, k_in), scales, mins
 
 
+def _q5_k_int(raw: np.ndarray, n_out: int, k_in: int):
+    """Q5_K → int8 container (values 0..31) + effective scales/mins per 32."""
+    from ..gguf.quants import _unpack_kquant_scales as unpack
+
+    if k_in % 256:
+        raise ValueError(f"Q5_K requires in-dim % 256 == 0, got {k_in}")
+    nb = n_out * k_in // 256
+    blocks = raw.reshape(nb, 176)
+    d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mi = unpack(blocks[:, 4:16])
+    qh = blocks[:, 16:48]
+    qs = blocks[:, 48:176].reshape(nb, 4, 32)
+    j = np.arange(4)
+    hb1 = ((qh[:, None, :] >> (2 * j)[None, :, None]) & 1).astype(np.uint8)
+    hb2 = ((qh[:, None, :] >> (2 * j + 1)[None, :, None]) & 1).astype(np.uint8)
+    lo = (qs & 0x0F) | (hb1 << 4)
+    hi = (qs >> 4) | (hb2 << 4)
+    q = np.stack([lo, hi], axis=2).reshape(nb, 256)
+    scales = (d * sc.astype(np.float32)).reshape(n_out, k_in // 32)
+    mins = (dmin * mi.astype(np.float32)).reshape(n_out, k_in // 32)
+    return q.reshape(n_out, k_in), scales, mins
+
+
+def _q6_k_int(raw: np.ndarray, n_out: int, k_in: int):
+    """Q6_K → int8 (q-32, symmetric) + effective scales per 16 elements."""
+    if k_in % 256:
+        raise ValueError(f"Q6_K requires in-dim % 256 == 0, got {k_in}")
+    nb = n_out * k_in // 256
+    blocks = raw.reshape(nb, 210)
+    ql = blocks[:, 0:128].reshape(nb, 2, 64)
+    qh = blocks[:, 128:192].reshape(nb, 2, 32)
+    sc = blocks[:, 192:208].view(np.int8).astype(np.float32)  # (nb,16)
+    d = blocks[:, 208:210].copy().view(np.float16).astype(np.float32)
+    q1 = (ql[:, :, :32] & 0x0F) | (((qh >> 0) & 3) << 4)
+    q2 = (ql[:, :, 32:] & 0x0F) | (((qh >> 2) & 3) << 4)
+    q3 = (ql[:, :, :32] >> 4) | (((qh >> 4) & 3) << 4)
+    q4 = (ql[:, :, 32:] >> 4) | (((qh >> 6) & 3) << 4)
+    q = np.stack([q1, q2, q3, q4], axis=2).reshape(nb, 256).astype(np.int16) - 32
+    scales = (d * sc).reshape(n_out, k_in // 16)
+    return q.astype(np.int8).reshape(n_out, k_in), scales, None
+
+
+def _q2_k_int(raw: np.ndarray, n_out: int, k_in: int):
+    """Q2_K → int8 (values 0..3) + effective scales/mins per 16 elements."""
+    if k_in % 256:
+        raise ValueError(f"Q2_K requires in-dim % 256 == 0, got {k_in}")
+    nb = n_out * k_in // 256
+    blocks = raw.reshape(nb, 84)
+    scales8 = blocks[:, 0:16]
+    qs = blocks[:, 16:80].reshape(nb, 2, 32)
+    d = blocks[:, 80:82].copy().view(np.float16).astype(np.float32)
+    dmin = blocks[:, 82:84].copy().view(np.float16).astype(np.float32)
+    shifts = np.arange(4)
+    q = ((qs[:, :, None, :] >> (2 * shifts)[None, None, :, None]) & 3)
+    q = q.reshape(nb, 256)
+    scales = (d * (scales8 & 0x0F).astype(np.float32)).reshape(n_out, k_in // 16)
+    mins = (dmin * (scales8 >> 4).astype(np.float32)).reshape(n_out, k_in // 16)
+    return q.astype(np.int8).reshape(n_out, k_in), scales, mins
+
+
+def _q3_k_int(raw: np.ndarray, n_out: int, k_in: int):
+    """Q3_K → int8 (signed, hmask applied) + effective scales per 16."""
+    from ..gguf.quants import _unpack_q3k_scales
+
+    if k_in % 256:
+        raise ValueError(f"Q3_K requires in-dim % 256 == 0, got {k_in}")
+    nb = n_out * k_in // 256
+    blocks = raw.reshape(nb, 110)
+    hmask = blocks[:, 0:32]
+    qs = blocks[:, 32:96].reshape(nb, 2, 32)
+    sc = _unpack_q3k_scales(blocks[:, 96:108]).astype(np.float32)  # (nb,16)
+    d = blocks[:, 108:110].copy().view(np.float16).astype(np.float32)
+    shifts = np.arange(4)
+    q = ((qs[:, :, None, :] >> (2 * shifts)[None, None, :, None]) & 3).astype(np.int16)
+    m = (4 * np.arange(2)[:, None] + shifts[None, :]).reshape(1, 2, 4, 1)
+    hb = ((hmask[:, None, None, :] >> m) & 1).astype(np.int16)
+    q = q - (1 - hb) * 4
+    scales = (d * sc).reshape(n_out, k_in // 16)
+    return q.astype(np.int8).reshape(n_out, k_in), scales, None
+
+
 _INT_DECODERS = {
-    GGMLType.Q8_0: ("q8", _q8_0_int),
-    GGMLType.Q4_0: ("q4", _q4_0_int),
-    GGMLType.Q4_1: ("q4", _q4_1_int),
-    GGMLType.Q4_K: ("q4", _q4_k_int),
+    GGMLType.Q8_0: ("q8", 32, _q8_0_int),
+    GGMLType.Q4_0: ("q4", 32, _q4_0_int),
+    GGMLType.Q4_1: ("q4", 32, _q4_1_int),
+    GGMLType.Q4_K: ("q4", 32, _q4_k_int),
+    GGMLType.Q5_K: ("q8", 32, _q5_k_int),
+    GGMLType.Q6_K: ("q8", 16, _q6_k_int),
+    GGMLType.Q2_K: ("q8", 16, _q2_k_int),
+    GGMLType.Q3_K: ("q8", 16, _q3_k_int),
 }
 
 SUPPORTED_QUANT_TYPES = frozenset(_INT_DECODERS)
@@ -137,7 +228,7 @@ def pack_gguf_tensor(
     kernels. Raises KeyError for unsupported kinds (caller falls back to
     dense dequantized weights)."""
     n_out, k_in = shape_out_in
-    kind, decode = _INT_DECODERS[ggml_type]
+    kind, group, decode = _INT_DECODERS[ggml_type]
     q, scales, mins = decode(np.ascontiguousarray(raw).view(np.uint8), n_out, k_in)
 
     scales_t = np.ascontiguousarray(scales.T, dtype=np.float32)  # [K/32, N]
@@ -163,6 +254,7 @@ def pack_gguf_tensor(
         kind=kind,
         k=k_in,
         n=n_out,
+        group=group,
     )
 
 
@@ -173,7 +265,7 @@ def pack_gguf_tensor(
 def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Full dense [K, N] dequantization (reference implementation for tests
     and the XLA fallback path)."""
-    scales = jnp.repeat(qt.scales, QBLOCK, axis=0)  # [K, N]
+    scales = jnp.repeat(qt.scales, qt.group, axis=0)  # [K, N]
     if qt.kind == "q8":
         w = qt.qs.astype(jnp.float32) * scales
     else:
@@ -182,7 +274,7 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         q = jnp.concatenate([lo, hi], axis=0)  # [K, N] (split-half order)
         w = q * scales
     if qt.mins is not None:
-        w = w - jnp.repeat(qt.mins, QBLOCK, axis=0)
+        w = w - jnp.repeat(qt.mins, qt.group, axis=0)
     return w.astype(dtype)
 
 
@@ -194,7 +286,7 @@ def dequant_gather(qt: QTensor, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax
     cols_q = jnp.take(qt.qs, token_ids, axis=1)  # [K(/2), ...]
     cols_q = jnp.moveaxis(cols_q, 0, -1)  # [..., K(/2)]
     scales = jnp.moveaxis(jnp.take(qt.scales, token_ids, axis=1), 0, -1)
-    scales = jnp.repeat(scales, QBLOCK, axis=-1)  # [..., K]
+    scales = jnp.repeat(scales, qt.group, axis=-1)  # [..., K]
     if qt.kind == "q8":
         w = cols_q.astype(jnp.float32) * scales
     else:
@@ -203,5 +295,5 @@ def dequant_gather(qt: QTensor, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax
         w = jnp.concatenate([lo, hi], axis=-1) * scales
     if qt.mins is not None:
         mins = jnp.moveaxis(jnp.take(qt.mins, token_ids, axis=1), 0, -1)
-        w = w - jnp.repeat(mins, QBLOCK, axis=-1)
+        w = w - jnp.repeat(mins, qt.group, axis=-1)
     return w.astype(dtype)

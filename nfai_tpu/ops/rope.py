@@ -53,15 +53,28 @@ def apply_rope(
     x: jax.Array,  # [..., seq, heads, head_dim]
     positions: jax.Array,  # [..., seq]
     inv_freq: jax.Array,  # [head_dim // 2]
+    neox: bool = False,
 ) -> jax.Array:
-    """Rotate adjacent pairs (2i, 2i+1) by theta_i = pos * inv_freq[i]."""
+    """Rotary embedding in either ggml convention.
+
+    `neox=False` (ggml NORM, llama/mistral GGUFs — the HF permutation is
+    baked into the weights): rotate adjacent pairs (2i, 2i+1).
+    `neox=True` (ggml NEOX, qwen2/qwen3 and other unpermuted checkpoints):
+    rotate half-split pairs (i, i + head_dim/2).
+    """
     theta = positions[..., :, None].astype(jnp.float32) * inv_freq[None, :]
     cos = jnp.cos(theta)[..., :, None, :]  # [..., seq, 1, hd/2]
     sin = jnp.sin(theta)[..., :, None, :]
     shape = x.shape
-    xf = x.astype(jnp.float32).reshape(*shape[:-1], shape[-1] // 2, 2)
-    even, odd = xf[..., 0], xf[..., 1]
-    r_even = even * cos - odd * sin
-    r_odd = even * sin + odd * cos
-    out = jnp.stack([r_even, r_odd], axis=-1).reshape(shape)
+    xf = x.astype(jnp.float32)
+    if neox:
+        half = shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    else:
+        xf = xf.reshape(*shape[:-1], shape[-1] // 2, 2)
+        even, odd = xf[..., 0], xf[..., 1]
+        r_even = even * cos - odd * sin
+        r_odd = even * sin + odd * cos
+        out = jnp.stack([r_even, r_odd], axis=-1).reshape(shape)
     return out.astype(x.dtype)

@@ -18,7 +18,8 @@ from nfai_tpu.ops.qtensor import (
     pack_gguf_tensor,
 )
 
-KINDS = [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K]
+KINDS = [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K,
+         GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K]
 
 
 def _make_qt(rng, t: GGMLType, n_out=128, k_in=256):
@@ -49,6 +50,13 @@ def test_qmatmul_kernel_matches_reference(rng, t):
         np.abs(y_kernel - y_ref).max(),
         scale,
     )
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q6_K, GGMLType.Q2_K])
+def test_group16_scale_granularity(rng, t):
+    qt, _ = _make_qt(rng, t)
+    assert qt.group == 16
+    assert qt.scales.shape[0] == 256 // 16
 
 
 def test_qmatmul_batched_leading_dims(rng):
@@ -89,6 +97,6 @@ def test_dequant_gather_matches_rows(rng, t):
 
 def test_unsupported_kind_raises(rng):
     w = rng.standard_normal((8, 256)).astype(np.float32)
-    raw = quantize(w, GGMLType.Q6_K)
+    raw = quantize(w, GGMLType.Q5_0)
     with pytest.raises(KeyError):
-        pack_gguf_tensor(raw, GGMLType.Q6_K, (8, 256))
+        pack_gguf_tensor(raw, GGMLType.Q5_0, (8, 256))

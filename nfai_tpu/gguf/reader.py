@@ -205,10 +205,35 @@ class GGUFFile:
         return np.frombuffer(self._buf, dtype=np.uint8, count=desc.nbytes, offset=start)
 
     def tensor_f32(self, name: str) -> np.ndarray:
-        """Dequantized float32 tensor in numpy (row-major) shape."""
+        """Dequantized float32 tensor in numpy (row-major) shape.
+
+        Uses the native (C++/OpenMP) decoder when built (`make -C native`),
+        falling back to the numpy codecs."""
         desc = self.tensors[name]
-        flat = dequantize(self.tensor_bytes(name), desc.n_elements, desc.ggml_type)
+        from . import native
+
+        if native.available(desc.ggml_type):
+            flat = native.dequantize_native(
+                self.tensor_bytes(name), desc.n_elements, desc.ggml_type
+            )
+        else:
+            flat = dequantize(self.tensor_bytes(name), desc.n_elements, desc.ggml_type)
         return flat.reshape(desc.shape)
+
+    def tensor_f32_transposed(self, name: str) -> np.ndarray:
+        """Dequantized 2-D tensor already transposed to (in, out) — the device
+        weight layout. Fused single pass in native code when available."""
+        desc = self.tensors[name]
+        if len(desc.shape) != 2:
+            raise ValueError(f"{name} is not 2-D")
+        n_out, k_in = desc.shape
+        from . import native
+
+        if native.available(desc.ggml_type):
+            return native.dequant_transpose_native(
+                self.tensor_bytes(name), desc.ggml_type, n_out, k_in
+            )
+        return np.ascontiguousarray(self.tensor_f32(name).T)
 
     # -- metadata access ---------------------------------------------------
     @property

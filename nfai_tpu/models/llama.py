@@ -187,8 +187,8 @@ def load_params(
                 g.tensor_bytes(tensor_name), desc.ggml_type, desc.shape,
                 device_put=False,
             )
-        # dense fallback: (out, in) -> (in, out)
-        return np.ascontiguousarray(g.tensor_f32(tensor_name).T).astype(dtype)
+        # dense fallback: (out, in) -> (in, out); fused native pass when built
+        return g.tensor_f32_transposed(tensor_name).astype(dtype)
 
     def stack(items):
         """Stack per-layer params; QTensors stack leaf-wise (scan slices them

@@ -112,3 +112,51 @@ def test_architecture_helpers(tmp_path):
     assert g.architecture == "llama"
     assert g.arch_key(Keys.BLOCK_COUNT) == 4
     g.close()
+
+
+# ---------------------------------------------------------------------------
+# native (C++/OpenMP) decoder parity
+
+
+def _native_lib():
+    import subprocess
+    from pathlib import Path
+
+    from nfai_tpu.gguf import native
+
+    if native.load_library() is None:
+        root = Path(__file__).resolve().parents[1]
+        subprocess.run(["make", "-C", str(root / "native")], check=True)
+        native._lib_tried = False
+    return native.load_library()
+
+
+def test_native_dequant_matches_numpy(rng):
+    from nfai_tpu.gguf import GGMLType, dequantize, quantize
+    from nfai_tpu.gguf import native
+
+    if _native_lib() is None:
+        pytest.skip("native library build unavailable")
+    for t in (GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.F16):
+        x = rng.standard_normal(512).astype(np.float32)
+        enc = quantize(x, t)
+        np.testing.assert_allclose(
+            native.dequantize_native(enc, 512, t),
+            dequantize(enc, 512, t),
+            rtol=1e-6,
+            atol=1e-7,
+        )
+
+
+def test_native_fused_transpose(tmp_path, rng):
+    from nfai_tpu.gguf import GGMLType, GGUFWriter, GGUFFile
+
+    if _native_lib() is None:
+        pytest.skip("native library build unavailable")
+    x = rng.standard_normal((32, 256)).astype(np.float32)
+    w = GGUFWriter()
+    w.add_tensor("w", x, GGMLType.Q4_K)
+    p = w.write(tmp_path / "t.gguf")
+    with GGUFFile.open(p) as g:
+        wt = g.tensor_f32_transposed("w")
+        np.testing.assert_allclose(wt, g.tensor_f32("w").T, rtol=1e-6, atol=1e-7)

@@ -319,3 +319,55 @@ class ChatSession:
 
     def send(self, user_text: str) -> str:
         return "".join(self.stream(user_text))
+
+    # -- session persistence (SURVEY.md §5 checkpoint/resume: serializable
+    # KV/session state for request migration; the reference's session state
+    # was implicit in GPU buffers + a firstInput flag) -------------------
+    def save(self, path) -> None:
+        """Serialize conversation + KV cache so the session can resume in a
+        different process (or after a crash) without re-prefilling."""
+        import json
+
+        meta = {
+            "messages": [m.asdict() for m in self.messages],
+            "cached_ids": list(self._cached_ids),
+            "model": self.engine.model_name,
+            "max_seq_len": self.engine.max_seq_len,
+        }
+        arrays = {}
+        if self._cache is not None:
+            arrays["cache_k"] = np.asarray(self._cache.k)
+            arrays["cache_v"] = np.asarray(self._cache.v)
+        np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+    @classmethod
+    def load(
+        cls,
+        engine: InferenceEngine,
+        path,
+        sampling: SamplingParams | None = None,
+    ) -> "ChatSession":
+        import json
+
+        from ..models import KVCache
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            if meta["model"] != engine.model_name:
+                raise ValueError(
+                    f"session was saved for model {meta['model']!r}, "
+                    f"engine runs {engine.model_name!r}"
+                )
+            if meta["max_seq_len"] != engine.max_seq_len:
+                raise ValueError(
+                    f"session cache length {meta['max_seq_len']} != engine "
+                    f"max_seq_len {engine.max_seq_len}"
+                )
+            session = cls(engine, sampling or SamplingParams(), messages=[])
+            session.messages = [Message(**m) for m in meta["messages"]]
+            session._cached_ids = [int(t) for t in meta["cached_ids"]]
+            if "cache_k" in z:
+                session._cache = KVCache(
+                    jnp.asarray(z["cache_k"]), jnp.asarray(z["cache_v"])
+                )
+        return session

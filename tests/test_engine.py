@@ -129,3 +129,30 @@ def test_metrics_populated(chat_engine):
     m = s.last_metrics
     assert m.prompt_tokens > 0
     assert m.ttft_s > 0
+
+
+def test_session_save_restore(chat_engine, tmp_path):
+    engine = chat_engine
+    s = ChatSession(engine, greedy(n=6))
+    r1 = s.send("hello")
+    s.save(tmp_path / "session.npz")
+
+    # resume in a "new process" and continue the conversation
+    s2 = ChatSession.load(engine, tmp_path / "session.npz", greedy(n=6))
+    assert [m.content for m in s2.messages] == [m.content for m in s.messages]
+    r2a = s2.send("again")
+
+    # a never-saved session given the same turns must match
+    s3 = ChatSession(engine, greedy(n=6))
+    assert s3.send("hello") == r1
+    assert s3.send("again") == r2a
+
+
+def test_session_load_wrong_model_rejected(chat_engine, engine, tmp_path):
+    s = ChatSession(chat_engine, greedy(n=2))
+    s.send("hi")
+    s.save(tmp_path / "x.npz")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ChatSession.load(engine, tmp_path / "x.npz")

@@ -362,8 +362,13 @@ def forward(
     *,
     activation_dtype=None,
     uniform_start: bool = True,
+    attend_len: int | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Run the transformer stack; returns (hidden [B,T,H], updated cache).
+
+    `attend_len` (static) bounds how many leading cache slots attention
+    scans — callers pass a bucket covering every valid position so short
+    prefixes in a long cache don't pay O(S_max) attention.
 
     Used for both prefill (T = chunk) and decode (T = 1). K/V for the new
     tokens are written into the cache at ``positions[:, 0]`` (contiguous
@@ -403,7 +408,15 @@ def forward(
         k = apply_rope(k, positions, inv_freq, neox=cfg.rope_neox)
         k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
         v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
-        attn = _cached_attention(q, k_cache_l, v_cache_l, positions)
+        if attend_len is not None and attend_len < k_cache_l.shape[2]:
+            attn = _cached_attention(
+                q,
+                k_cache_l[:, :, :attend_len],
+                v_cache_l[:, :, :attend_len],
+                positions,
+            )
+        else:
+            attn = _cached_attention(q, k_cache_l, v_cache_l, positions)
         attn = attn.reshape(b, t, cfg.n_heads * cfg.head_dim)
         h = (h + linear(attn, lp["wo"])).astype(activation_dtype)
         x = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
@@ -424,7 +437,9 @@ def logits_for(params: dict, hidden: jax.Array) -> jax.Array:
     return linear(hidden, params["lm_head"]).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+@partial(
+    jax.jit, static_argnames=("cfg", "attend_len"), donate_argnames=("cache",)
+)
 def prefill_step(
     params: dict,
     cfg: LlamaConfig,
@@ -432,12 +447,13 @@ def prefill_step(
     positions: jax.Array,  # [B, T_chunk]
     last_index: jax.Array,  # [B] index of last real token within the chunk
     cache: KVCache,
+    attend_len: int | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Process a (padded) prompt chunk; returns logits at each seq's last
     real token. The reference fed prompt tokens one-by-one through the full
     stack incl. LM head (LlamaModel.cs:103-126) — here a whole chunk is one
     batched MXU-friendly call and the LM head runs once."""
-    h, cache = forward(params, cfg, tokens, positions, cache)
+    h, cache = forward(params, cfg, tokens, positions, cache, attend_len=attend_len)
     h_last = jnp.take_along_axis(h, last_index[:, None, None], axis=1)  # [B,1,H]
     return logits_for(params, h_last)[:, 0, :], cache
 

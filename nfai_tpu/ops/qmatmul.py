@@ -53,12 +53,14 @@ def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
 # 8-bit kernel
 
 
-def _expand_scales(sc, group=QBLOCK):
-    """[TK/g, TN] -> [TK, TN], each row repeated g times (block -> elements)."""
-    nb, tn = sc.shape
-    return jnp.broadcast_to(sc[:, None, :], (nb, group, tn)).reshape(
-        nb * group, tn
+def _scaled_deq(q_bf16, sc, group):
+    """Per-block scale via broadcast multiply (no materialized expansion):
+    [TK, TN] bf16 * [TK/g, TN] -> [TK, TN] bf16, ~2 VPU ops per element."""
+    tk, tn = q_bf16.shape
+    w = q_bf16.reshape(tk // group, group, tn) * sc[:, None, :].astype(
+        jnp.bfloat16
     )
+    return w.reshape(tk, tn)
 
 
 def _q8_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, group):
@@ -66,11 +68,10 @@ def _q8_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, group):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    scales = _expand_scales(sc_ref[...], group)  # [TK, TN] f32
-    w = qs_ref[...].astype(jnp.float32) * scales
+    w = _scaled_deq(qs_ref[...].astype(jnp.bfloat16), sc_ref[...], group)
     acc_ref[...] += jax.lax.dot(
         x_ref[...].astype(jnp.bfloat16),
-        w.astype(jnp.bfloat16),
+        w,
         preferred_element_type=jnp.float32,
     )
 
@@ -120,17 +121,21 @@ def _q4_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref, o_ref, acc_ref)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    byte = qs_ref[...]  # [TKB, TN] uint8
-    w_lo = (byte & 0x0F).astype(jnp.float32) * _expand_scales(sc_lo_ref[...])
-    w_hi = (byte >> 4).astype(jnp.float32) * _expand_scales(sc_hi_ref[...])
+    byte = qs_ref[...]  # [TKB, TN] int8 container of packed nibbles
+    # Mosaic cannot lower int8 shifts / uint8->float casts; widen to int32
+    # for the high-nibble shift and mask away the sign extension
+    lo = (byte & 0x0F).astype(jnp.bfloat16)
+    hi = ((byte.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.bfloat16)
+    w_lo = _scaled_deq(lo, sc_lo_ref[...], QBLOCK)
+    w_hi = _scaled_deq(hi, sc_hi_ref[...], QBLOCK)
     acc_ref[...] += jax.lax.dot(
         x_lo_ref[...].astype(jnp.bfloat16),
-        w_lo.astype(jnp.bfloat16),
+        w_lo,
         preferred_element_type=jnp.float32,
     )
     acc_ref[...] += jax.lax.dot(
         x_hi_ref[...].astype(jnp.bfloat16),
-        w_hi.astype(jnp.bfloat16),
+        w_hi,
         preferred_element_type=jnp.float32,
     )
 

@@ -48,7 +48,7 @@ class QTensor:
     formats and Q4_K/Q5_K super-block sub-blocks; 16 for Q2_K/Q3_K/Q6_K).
     """
 
-    qs: jax.Array  # int8 [K, N] (8-bit container) or uint8 [K//2, N] (4-bit)
+    qs: jax.Array  # int8: [K, N] (8-bit container) or packed [K//2, N] (4-bit)
     scales: jax.Array  # f32 [K//group, N]
     mins: jax.Array | None  # f32 [K//group, N] or None
     kind: str  # "q8" | "q4"
@@ -242,7 +242,8 @@ def pack_gguf_tensor(
             raise ValueError(f"4-bit packing requires K % 64 == 0, got {k_in}")
         qt = q.T.astype(np.uint8)  # [K, N], values 0..15
         half = k_in // 2
-        qs_t = np.ascontiguousarray(qt[:half] | (qt[half:] << 4))  # [K/2, N]
+        # int8 container (same bits): Mosaic lacks uint8->float casts
+        qs_t = np.ascontiguousarray(qt[:half] | (qt[half:] << 4)).view(np.int8)
 
     def put(a):
         return jnp.asarray(a) if (device_put and a is not None) else a
@@ -270,7 +271,7 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         w = qt.qs.astype(jnp.float32) * scales
     else:
         lo = (qt.qs & 0x0F).astype(jnp.float32)
-        hi = (qt.qs >> 4).astype(jnp.float32)
+        hi = ((qt.qs >> 4) & 0x0F).astype(jnp.float32)  # mask: arithmetic shift
         q = jnp.concatenate([lo, hi], axis=0)  # [K, N] (split-half order)
         w = q * scales
     if qt.mins is not None:
@@ -291,7 +292,7 @@ def dequant_gather(qt: QTensor, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax
         w = cols_q.astype(jnp.float32) * scales
     else:
         lo = (cols_q & 0x0F).astype(jnp.float32)
-        hi = (cols_q >> 4).astype(jnp.float32)
+        hi = ((cols_q >> 4) & 0x0F).astype(jnp.float32)
         w = jnp.concatenate([lo, hi], axis=-1) * scales
     if qt.mins is not None:
         mins = jnp.moveaxis(jnp.take(qt.mins, token_ids, axis=1), 0, -1)

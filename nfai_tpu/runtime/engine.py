@@ -157,6 +157,9 @@ class InferenceEngine:
             chunk = np.zeros(bucket, np.int32)
             chunk[:take] = ids[pos - start_pos : pos - start_pos + take]
             positions = np.arange(pos, pos + bucket, dtype=np.int32)
+            # attention only needs slots < pos+bucket; round to a bucket so
+            # compile variants stay bounded
+            attend = min(_bucket(pos + bucket, self.max_seq_len), self.max_seq_len)
             logits, cache = prefill_step(
                 self.params,
                 self.model_cfg,
@@ -164,6 +167,7 @@ class InferenceEngine:
                 jnp.asarray(positions[None, :]),
                 jnp.asarray([take - 1], jnp.int32),
                 cache,
+                attend,
             )
             pos += take
         return logits, cache
@@ -197,26 +201,25 @@ class InferenceEngine:
         self._last_cache, self._last_pos = cache, pos
 
         # Fused decode: chunks of up to `decode_chunk` tokens run entirely on
-        # device (one host sync per chunk; the reference synced per op). Chunk
-        # sizes are powers of two to bound the number of compiled variants.
+        # device (the reference synced per op). Chunk sizes are powers of two
+        # to bound compiled variants. Dispatch runs one chunk AHEAD of the
+        # host-side EOS check: the jit-call latency of chunk N+1 overlaps
+        # chunk N's readback (if EOS lands mid-chunk the speculative chunk's
+        # work is discarded — its cache writes sit past the conversation end
+        # and are overwritten by the next prefill).
         t_dec = time.perf_counter()
         emitted = 0
         done = False
-        while not done:
-            budget = min(
-                sampling.max_new_tokens - emitted, self.max_seq_len - pos
-            )
+        pending: list[tuple] = []  # (toks_device, n, start_pos)
+        spec_budget = sampling.max_new_tokens  # tokens dispatched so far
+
+        def dispatch():
+            nonlocal token, cache, key, pos, spec_budget
+            budget = min(spec_budget, self.max_seq_len - pos)
             if budget <= 0:
-                # the final sampled token needs no KV slot
-                tok_id = int(token[0])
-                if emitted < sampling.max_new_tokens and not self.tokenizer.is_eos(
-                    tok_id
-                ):
-                    yield tok_id
-                    emitted += 1
-                break
+                return False
             n = min(self.config.decode_chunk, budget)
-            n = 1 << (n.bit_length() - 1)  # round down to a power of two
+            n = 1 << (n.bit_length() - 1)
             toks, token, cache, key = decode_loop(
                 self.params,
                 self.model_cfg,
@@ -229,19 +232,39 @@ class InferenceEngine:
                 sampling.top_k,
                 sampling.top_p,
             )
-            toks_host = np.asarray(toks[0])  # one sync per chunk
+            pending.append((toks, n, pos))
+            pos += n
+            spec_budget -= n
+            return True
+
+        dispatch()
+        while pending and not done:
+            dispatch()  # overlap the next chunk with this chunk's readback
+            toks, n, p0 = pending.pop(0)
+            toks_host = np.asarray(toks[0])  # sync
             for j, t in enumerate(toks_host):
                 t = int(t)
-                if self.tokenizer.is_eos(t):
+                if (
+                    self.tokenizer.is_eos(t)
+                    or emitted >= sampling.max_new_tokens
+                ):
                     done = True
-                    self._last_pos = pos + j
+                    self._last_pos = p0 + j
                     break
                 yield t
                 emitted += 1
             else:
-                self._last_pos = pos + n
-            pos += n
+                self._last_pos = p0 + n
             self._last_cache = cache
+        if not done:
+            # budget exhausted mid-stream: the final sampled token needs no
+            # KV slot
+            tok_id = int(token[0])
+            if emitted < sampling.max_new_tokens and not self.tokenizer.is_eos(
+                tok_id
+            ):
+                yield tok_id
+                emitted += 1
         metrics.new_tokens = emitted
         metrics.decode_s = time.perf_counter() - t_dec
 

@@ -34,10 +34,18 @@ GPT2_PRETOKENIZE = (
     r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
 )
 
+# llama.cpp "qwen2" pre-tokenizer (single-digit \p{N} split)
+QWEN2_PRETOKENIZE = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+    r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"
+)
+
 _PRETOKENIZERS = {
     "llama3": LLAMA3_PRETOKENIZE,
     "llama-bpe": LLAMA3_PRETOKENIZE,
     "gpt-2": GPT2_PRETOKENIZE,
+    "qwen2": QWEN2_PRETOKENIZE,
+    "deepseek-r1-qwen": QWEN2_PRETOKENIZE,
     "default": LLAMA3_PRETOKENIZE,
 }
 

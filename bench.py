@@ -96,8 +96,8 @@ def main() -> int:
             qs = jax.random.randint(next(kiter), (*lead, k, n), -127, 128, jnp.int8)
             return QTensor(qs, scales, None, "q8", k, n)
         qs = jax.random.randint(
-            next(kiter), (*lead, k // 2, n), 0, 256, jnp.int32
-        ).astype(jnp.uint8)
+            next(kiter), (*lead, k // 2, n), -128, 128, jnp.int32
+        ).astype(jnp.int8)
         mins = scales * 8.0
         return QTensor(qs, scales, mins, "q4", k, n)
 

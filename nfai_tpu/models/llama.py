@@ -48,7 +48,9 @@ class LlamaConfig:
     tied_embeddings: bool = True
     attn_bias: bool = False  # qwen2-style q/k/v biases
     qk_norm: bool = False  # qwen3-style per-head q/k rmsnorm
-    rope_neox: bool = False  # ggml NEOX rope (qwen2/3) vs NORM (llama)
+    rope_neox: bool = False  # ggml NEOX rope (qwen2/3, gemma) vs NORM (llama)
+    activation: str = "silu"  # MLP gate activation ("silu" | "gelu")
+    embed_scale: float = 1.0  # gemma multiplies embeddings by sqrt(hidden)
 
     @classmethod
     def from_gguf(cls, g: GGUFFile) -> "LlamaConfig":
@@ -90,8 +92,10 @@ class LlamaConfig:
             qk_norm="blk.0.attn_q_norm.weight" in g.tensors,
             # ggml rope type is per-architecture: llama/mistral GGUFs carry
             # the HF->ggml permutation (NORM, adjacent pairs); qwen-family
-            # checkpoints are unpermuted (NEOX, half-split pairs)
-            rope_neox=arch in ("qwen2", "qwen3"),
+            # and gemma checkpoints are unpermuted (NEOX, half-split pairs)
+            rope_neox=arch in ("qwen2", "qwen3", "gemma"),
+            activation="gelu" if arch == "gemma" else "silu",
+            embed_scale=float(hidden) ** 0.5 if arch == "gemma" else 1.0,
         )
 
 
@@ -385,6 +389,9 @@ def forward(
         h = dequant_gather(params["lm_head"], tokens, activation_dtype)
     else:
         h = jnp.take(params["embed"], tokens, axis=0).astype(activation_dtype)
+    if cfg.embed_scale != 1.0:
+        # gemma scales embeddings by sqrt(hidden) (in the model, not the file)
+        h = (h.astype(jnp.float32) * cfg.embed_scale).astype(activation_dtype)
     inv_freq = params["inv_freq"]
     starts = positions[:, 0]
 
@@ -420,7 +427,10 @@ def forward(
         attn = attn.reshape(b, t, cfg.n_heads * cfg.head_dim)
         h = (h + linear(attn, lp["wo"])).astype(activation_dtype)
         x = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
-        gated = jax.nn.silu(linear(x, lp["w_gate"])) * linear(x, lp["w_up"])
+        act = jax.nn.silu if cfg.activation == "silu" else partial(
+            jax.nn.gelu, approximate=True
+        )
+        gated = act(linear(x, lp["w_gate"])) * linear(x, lp["w_up"])
         h = (h + linear(gated, lp["w_down"])).astype(activation_dtype)
         return h, (k_cache_l, v_cache_l)
 

@@ -199,6 +199,18 @@ def mins_correction(x: jax.Array, mins: jax.Array, group: int = QBLOCK) -> jax.A
     )
 
 
+def kernel_supported(qt: QTensor) -> bool:
+    """Mosaic tiling constraint: the scales block's sublane count must be a
+    multiple of 8 (or span the whole scale array). Small-K weights (tiny test
+    models) fall back to the XLA dequant path."""
+    if qt.kind == "q8":
+        tk, _ = _pick_tiles(0, qt.k, qt.n)
+        rows = tk // qt.group
+        return rows % 8 == 0 or rows == qt.k // qt.group
+    tkb, _ = _pick_tiles(0, qt.k // 2, qt.n)
+    return (tkb // QBLOCK) % 8 == 0
+
+
 def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
     """x [..., K] @ quantized W [K, N] → [..., N] (bf16).
 
@@ -207,7 +219,7 @@ def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
     """
     lead = x.shape[:-1]
     xb = x.reshape(-1, qt.k)
-    if not use_kernel:
+    if not use_kernel or not kernel_supported(qt):
         out = (xb @ dequant_qtensor(qt)).astype(jnp.bfloat16)
         return out.reshape(*lead, qt.n)
     if qt.kind == "q8":

@@ -28,7 +28,8 @@ def sample_logits(
     greedy argmax (per row).
     """
     logits = logits.astype(jnp.float32)
-    if isinstance(temperature, (int, float)) and temperature <= 0.0:
+    static_temp = isinstance(temperature, (int, float))
+    if static_temp and temperature <= 0.0:
         # static greedy: skip the whole sampling graph
         return jnp.argmax(logits, axis=-1)
 
@@ -64,6 +65,11 @@ def sample_logits(
 
     choice = jax.random.categorical(key, filtered, axis=-1)  # [B]
     sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+    if static_temp:
+        # temperature is statically > 0: no greedy rows; skip the
+        # full-vocab argmax the mixed path would compute every step
+        return sampled
+    # mixed batches (continuous batching): greedy rows need the exact argmax
     return jnp.where(greedy, jnp.argmax(logits, axis=-1), sampled)
 
 

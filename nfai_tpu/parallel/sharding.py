@@ -62,9 +62,12 @@ def llama_param_shardings(mesh: Mesh) -> dict:
     }
 
 
-def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    """[L, H_kv, B, S, D] — kv heads over tp, batch over dp."""
-    return NamedSharding(mesh, P(None, TP_AXIS, DP_AXIS, None, None))
+def kv_cache_sharding(mesh: Mesh, batch: int | None = None) -> NamedSharding:
+    """[L, H_kv, B, S, D] — kv heads over tp, batch over dp (replicated when
+    the batch does not divide the dp axis, e.g. single-request generate)."""
+    dp = mesh.shape[DP_AXIS]
+    batch_axis = DP_AXIS if (batch is None or batch % dp == 0) else None
+    return NamedSharding(mesh, P(None, TP_AXIS, batch_axis, None, None))
 
 
 def token_sharding(mesh: Mesh) -> NamedSharding:

@@ -132,7 +132,7 @@ class InferenceEngine:
         if self.mesh is not None:
             from ..parallel import kv_cache_sharding
 
-            cache = jax.device_put(cache, kv_cache_sharding(self.mesh))
+            cache = jax.device_put(cache, kv_cache_sharding(self.mesh, batch))
         return cache
 
     def prefill(

@@ -1,0 +1,94 @@
+"""Tensor/data-parallel sharding tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4 "Distributed without a cluster"): mesh construction, sharded
+engine generation parity with unsharded, and collective-inserting jit."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nfai_tpu.config import EngineConfig, SamplingParams
+from nfai_tpu.models.testing import make_tiny_llama_gguf
+from nfai_tpu.parallel import (
+    DP_AXIS,
+    TP_AXIS,
+    kv_cache_sharding,
+    llama_param_shardings,
+    make_mesh,
+    validate_tp,
+)
+from nfai_tpu.runtime.engine import InferenceEngine
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    mesh = make_mesh({"dp": 2, "tp": -1})
+    assert mesh.shape["tp"] == 4
+    with pytest.raises(ValueError):
+        make_mesh({"dp": 3, "tp": 4})
+
+
+def test_validate_tp_messages(tmp_path):
+    path = make_tiny_llama_gguf(tmp_path / "v.gguf", n_heads=4, n_kv_heads=2)
+    from nfai_tpu.gguf import GGUFFile
+    from nfai_tpu.models import LlamaConfig
+
+    with GGUFFile.open(path) as g:
+        cfg = LlamaConfig.from_gguf(g)
+    with pytest.raises(ValueError, match="n_kv_heads"):
+        validate_tp(cfg, 4)
+
+
+def test_sharded_engine_matches_unsharded(tmp_path):
+    # tp=4 over kv_heads=4, dp=2; greedy decode must match the single-device
+    # engine exactly (GSPMD collectives are numerically transparent here)
+    path = make_tiny_llama_gguf(
+        tmp_path / "s.gguf",
+        hidden=128,
+        n_layers=2,
+        n_heads=8,
+        n_kv_heads=4,
+        ffn_dim=256,
+        context_length=256,
+        seed=42,
+    )
+    base_cfg = dict(max_seq_len=96, dtype="float32", prefill_chunk=32)
+    plain = InferenceEngine(path, EngineConfig(**base_cfg))
+    sharded = InferenceEngine(
+        path, EngineConfig(**base_cfg, mesh_shape={"dp": 2, "tp": 4})
+    )
+    assert sharded.mesh is not None
+
+    # param shardings actually applied
+    wq = sharded.params["layers"]["wq"]
+    assert len(wq.sharding.device_set) == 8
+
+    ids = [int(x) for x in np.random.default_rng(0).integers(5, 200, 11)]
+    s = SamplingParams(temperature=0.0, max_new_tokens=8)
+    with jax.sharding.set_mesh(sharded.mesh):
+        got = list(sharded.generate(ids, s))
+    expected = list(plain.generate(ids, s))
+    assert got == expected
+    plain.gguf.close()
+    sharded.gguf.close()
+
+
+def test_cache_sharding_layout(tmp_path):
+    path = make_tiny_llama_gguf(
+        tmp_path / "c.gguf", n_heads=8, n_kv_heads=4, hidden=128, ffn_dim=256
+    )
+    eng = InferenceEngine(
+        path,
+        EngineConfig(
+            max_seq_len=64, dtype="float32", mesh_shape={"dp": 2, "tp": 4}
+        ),
+    )
+    cache = eng.new_cache(batch=2)
+    spec = cache.k.sharding.spec
+    assert spec[1] == TP_AXIS and spec[2] == DP_AXIS
+    eng.gguf.close()

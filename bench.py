@@ -38,10 +38,12 @@ def main() -> int:
     p.add_argument("--seq", type=int, default=1024, help="KV cache length")
     p.add_argument("--prompt", type=int, default=128)
     p.add_argument("--decode-tokens", type=int, default=256)
-    p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--chunk", type=int, default=64)
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--quant", default="none", choices=["none", "q8_0", "q4"],
-                   help="keep weights quantized in HBM (fused dequant kernels)")
+    p.add_argument("--quant", default="q4", choices=["none", "q8_0", "q4"],
+                   help="weights quantized in HBM (fused dequant kernels); "
+                        "the BASELINE headline config is Llama-3.2 Q4_K")
+    p.add_argument("--vocab", type=int, default=0, help="override vocab size")
     p.add_argument("--hbm-gbps", type=float, default=819.0,
                    help="chip HBM bandwidth for the roofline (v5e: 819)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -62,6 +64,8 @@ def main() -> int:
     from nfai_tpu.ops.rope import compute_inv_freq
 
     hidden, layers, heads, kv_heads, ffn, vocab = SIZES[args.size]
+    if args.vocab:
+        vocab = args.vocab
     head_dim = hidden // heads
     cfg = LlamaConfig(
         vocab_size=vocab, hidden_size=hidden, n_layers=layers, n_heads=heads,

@@ -154,8 +154,15 @@ def load_params(
     dtype: Any = jnp.bfloat16,
     device_put: bool = True,
     quantized: bool | str = False,
+    fuse: bool = True,
 ) -> dict:
     """Load GGUF weights into a layer-stacked params pytree.
+
+    With `fuse` (default), the Q/K/V and gate/up projections are concatenated
+    along the output dim into single matmuls ("wqkv", "w_gate_up") when their
+    quantization kinds allow — one kernel launch instead of three/two. Pass
+    ``fuse=False`` for tensor-parallel loading (sharding fused projections
+    would interleave sections across devices).
 
     Dense matmul weights are stored transposed to (in, out) so the forward is
     plain ``x @ w``; norm weights stay float32. With ``quantized="auto"``,
@@ -213,6 +220,7 @@ def load_params(
                 kind=items[0].kind,
                 k=items[0].k,
                 n=items[0].n,
+                group=items[0].group,
             )
         return np.stack(items)
 
@@ -228,6 +236,8 @@ def load_params(
                 layers[key_name].append(g.tensor_f32(t).astype(np.float32))
             else:
                 layers[key_name].append(mat(t))
+    if fuse:
+        _fuse_projections(layers, cfg)
     stacked = {k: put(k, stack(v)) for k, v in layers.items()}
 
     if cfg.tied_embeddings:
@@ -398,13 +408,23 @@ def forward(
     def layer_step(h, layer_in):
         lp, k_cache_l, v_cache_l = layer_in
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
-        q = linear(x, lp["wq"])
-        k = linear(x, lp["wk"])
-        v = linear(x, lp["wv"])
-        if cfg.attn_bias:
-            q = q + lp["wq_bias"].astype(q.dtype)
-            k = k + lp["wk_bias"].astype(k.dtype)
-            v = v + lp["wv_bias"].astype(v.dtype)
+        qd = cfg.n_heads * cfg.head_dim
+        kvd = cfg.n_kv_heads * cfg.head_dim
+        if "wqkv" in lp:  # fused projection: one kernel launch
+            qkv = linear(x, lp["wqkv"])
+            if cfg.attn_bias:
+                qkv = qkv + lp["wqkv_bias"].astype(qkv.dtype)
+            q = qkv[..., :qd]
+            k = qkv[..., qd : qd + kvd]
+            v = qkv[..., qd + kvd :]
+        else:
+            q = linear(x, lp["wq"])
+            k = linear(x, lp["wk"])
+            v = linear(x, lp["wv"])
+            if cfg.attn_bias:
+                q = q + lp["wq_bias"].astype(q.dtype)
+                k = k + lp["wk_bias"].astype(k.dtype)
+                v = v + lp["wv_bias"].astype(v.dtype)
         q = q.reshape(b, t, cfg.n_heads, cfg.head_dim)
         k = k.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
         v = v.reshape(b, t, cfg.n_kv_heads, cfg.head_dim)
@@ -430,7 +450,11 @@ def forward(
         act = jax.nn.silu if cfg.activation == "silu" else partial(
             jax.nn.gelu, approximate=True
         )
-        gated = act(linear(x, lp["w_gate"])) * linear(x, lp["w_up"])
+        if "w_gate_up" in lp:  # fused projection: one kernel launch
+            gu = linear(x, lp["w_gate_up"])
+            gated = act(gu[..., : cfg.ffn_dim]) * gu[..., cfg.ffn_dim :]
+        else:
+            gated = act(linear(x, lp["w_gate"])) * linear(x, lp["w_up"])
         h = (h + linear(gated, lp["w_down"])).astype(activation_dtype)
         return h, (k_cache_l, v_cache_l)
 
@@ -562,3 +586,48 @@ def prefill_slot_step(
     k = jax.lax.dynamic_update_slice_in_dim(cache.k, slot_cache.k, slot, axis=2)
     v = jax.lax.dynamic_update_slice_in_dim(cache.v, slot_cache.v, slot, axis=2)
     return logits, KVCache(k, v)
+
+
+def _fuse_projections(layers: dict, cfg: LlamaConfig) -> None:
+    """Fuse per-layer [wq|wk|wv] -> wqkv and [w_gate|w_up] -> w_gate_up when
+    every layer's parts are compatible (same quant kind/group, or all dense).
+    Mutates `layers` in place; reduces kernel launches per layer from 7 to 4
+    (Q4_K_M files mix Q6_K attn_v tensors — those layers stay split)."""
+    from ..ops.qtensor import concat_qtensors
+
+    def fuse_group(names: list[str], out_name: str, bias_names=None, bias_out=None):
+        cols = [layers[n] for n in names]
+        fused = []
+        for parts in zip(*cols):
+            if all(isinstance(p, QTensor) for p in parts):
+                first = parts[0]
+                if not all(
+                    p.kind == first.kind
+                    and p.group == first.group
+                    and p.k == first.k
+                    for p in parts
+                ):
+                    return  # mixed kinds somewhere: keep everything split
+                fused.append(concat_qtensors(list(parts)))
+            elif all(isinstance(p, np.ndarray) for p in parts):
+                fused.append(np.concatenate(parts, axis=-1))
+            else:
+                return  # quantized/dense mix: keep split
+        layers[out_name] = fused
+        for n in names:
+            del layers[n]
+        if bias_names and all(b in layers for b in bias_names):
+            layers[bias_out] = [
+                np.concatenate(parts, axis=-1)
+                for parts in zip(*[layers[b] for b in bias_names])
+            ]
+            for b in bias_names:
+                del layers[b]
+
+    fuse_group(
+        ["wq", "wk", "wv"],
+        "wqkv",
+        ["wq_bias", "wk_bias", "wv_bias"] if cfg.attn_bias else None,
+        "wqkv_bias",
+    )
+    fuse_group(["w_gate", "w_up"], "w_gate_up")

@@ -259,6 +259,31 @@ def pack_gguf_tensor(
     )
 
 
+def concat_qtensors(items: list["QTensor"]) -> "QTensor":
+    """Concatenate along the output (N) axis — used to fuse QKV / gate+up
+    projections into one kernel launch. Kinds/groups/K must match."""
+    first = items[0]
+    if not all(
+        it.kind == first.kind and it.group == first.group and it.k == first.k
+        for it in items
+    ):
+        raise ValueError("incompatible QTensors for fusion")
+    axis = items[0].qs.ndim - 1
+    return QTensor(
+        qs=np.concatenate([it.qs for it in items], axis=axis),
+        scales=np.concatenate([it.scales for it in items], axis=axis),
+        mins=(
+            np.concatenate([it.mins for it in items], axis=axis)
+            if first.mins is not None
+            else None
+        ),
+        kind=first.kind,
+        k=first.k,
+        n=sum(it.n for it in items),
+        group=first.group,
+    )
+
+
 # ---------------------------------------------------------------------------
 # dequantization (reference path + embedding gather)
 

@@ -90,7 +90,7 @@ class InferenceEngine:
             self.mesh = make_mesh(self.config.mesh_shape)
             validate_tp(self.model_cfg, self.mesh.shape[TP_AXIS])
             params_np = self.family.load_params(
-                g, self.model_cfg, dtype=dtype, device_put=False
+                g, self.model_cfg, dtype=dtype, device_put=False, fuse=False
             )
             self.params = jax.device_put(params_np, llama_param_shardings(self.mesh))
         else:

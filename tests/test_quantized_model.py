@@ -43,8 +43,9 @@ def test_quantized_matches_dense_dequant(tmp_path, quant):
         dense = load_params(g, cfg, dtype=jnp.float32, quantized=False)
         qparams = load_params(g, cfg, dtype=jnp.float32, quantized="auto")
 
-    # the layer matmuls must actually be quantized
-    assert isinstance(qparams["layers"]["wq"], QTensor)
+    # the layer matmuls must actually be quantized (and fused)
+    assert isinstance(qparams["layers"]["wqkv"], QTensor)
+    assert isinstance(qparams["layers"]["w_gate_up"], QTensor)
     assert isinstance(qparams["layers"]["w_down"], QTensor)
     # embed (vocab=264, not %128) falls back dense
     assert qparams["embed"] is not None

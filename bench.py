@@ -110,13 +110,11 @@ def main() -> int:
         "embed": rand(vocab, hidden),
         "layers": {
             "attn_norm": jnp.ones((layers, hidden), jnp.float32),
-            "wq": weight(layers, hidden, qd),
-            "wk": weight(layers, hidden, kvd),
-            "wv": weight(layers, hidden, kvd),
+            # fused projections (one kernel launch each, as load_params builds)
+            "wqkv": weight(layers, hidden, qd + 2 * kvd),
             "wo": weight(layers, qd, hidden),
             "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
-            "w_gate": weight(layers, hidden, ffn),
-            "w_up": weight(layers, hidden, ffn),
+            "w_gate_up": weight(layers, hidden, 2 * ffn),
             "w_down": weight(layers, ffn, hidden),
         },
         "final_norm": jnp.ones(hidden, jnp.float32),

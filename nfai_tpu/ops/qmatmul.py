@@ -195,7 +195,7 @@ def mins_correction(x: jax.Array, mins: jax.Array, group: int = QBLOCK) -> jax.A
         x.astype(jnp.float32).reshape(b, k // group, group), axis=-1
     )
     return jax.lax.dot(
-        bsums, mins, preferred_element_type=jnp.float32
+        bsums, mins.astype(jnp.float32), preferred_element_type=jnp.float32
     )
 
 

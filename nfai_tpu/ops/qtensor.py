@@ -29,10 +29,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import ml_dtypes
+
 from ..gguf.constants import GGMLType
 from ..gguf.quants import _unpack_kquant_scales
 
 QBLOCK = 32  # default scale granularity along K
+# Effective scales/mins stay f32 in HBM: bf16 storage was measured to double
+# Q8_0's effective weight error (bf16 eps 0.4% vs f16-scale-exact), violating
+# the "ppl within llama.cpp's delta" target for ~1 bit/elem of bandwidth.
+SCALE_DTYPE = np.float32
+MIN_DTYPE = np.float32
 
 
 @partial(
@@ -49,7 +56,7 @@ class QTensor:
     """
 
     qs: jax.Array  # int8: [K, N] (8-bit container) or packed [K//2, N] (4-bit)
-    scales: jax.Array  # f32 [K//group, N]
+    scales: jax.Array  # f32 [K//group, N] (effective per-block scales)
     mins: jax.Array | None  # f32 [K//group, N] or None
     kind: str  # "q8" | "q4"
     k: int
@@ -231,9 +238,11 @@ def pack_gguf_tensor(
     kind, group, decode = _INT_DECODERS[ggml_type]
     q, scales, mins = decode(np.ascontiguousarray(raw).view(np.uint8), n_out, k_in)
 
-    scales_t = np.ascontiguousarray(scales.T, dtype=np.float32)  # [K/32, N]
+    scales_t = np.ascontiguousarray(scales.T).astype(SCALE_DTYPE)  # [K/g, N]
     mins_t = (
-        np.ascontiguousarray(mins.T, dtype=np.float32) if mins is not None else None
+        np.ascontiguousarray(mins.T).astype(MIN_DTYPE)
+        if mins is not None
+        else None
     )
     if kind == "q8":
         qs_t = np.ascontiguousarray(q.T, dtype=np.int8)  # [K, N]

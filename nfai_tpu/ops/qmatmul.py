@@ -63,6 +63,14 @@ def _scaled_deq(q_bf16, sc, group):
     return w.reshape(tk, tn)
 
 
+def _block_sums(x, group):
+    """[B, TK] -> [B, TK/g] per-scale-block activation sums (f32)."""
+    b, tk = x.shape
+    return jnp.sum(
+        x.astype(jnp.float32).reshape(b, tk // group, group), axis=-1
+    )
+
+
 def _q8_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, group):
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -80,23 +88,52 @@ def _q8_kernel(x_ref, qs_ref, sc_ref, o_ref, acc_ref, *, group):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _q8m_kernel(x_ref, qs_ref, sc_ref, mins_ref, o_ref, acc_ref, *, group):
+    """8-bit affine: the per-block mins term (y -= bsums @ mins) is fused as a
+    second tiny dot per k-tile instead of a separate XLA op chain."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = _scaled_deq(qs_ref[...].astype(jnp.bfloat16), sc_ref[...], group)
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+    bs = _block_sums(x_ref[...], group)
+    acc_ref[...] -= jax.lax.dot(
+        bs, mins_ref[...], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "group"))
-def _q8_matmul(x, qs, scales, out_dtype=jnp.bfloat16, group=QBLOCK):
+def _q8_matmul(x, qs, scales, mins=None, out_dtype=jnp.bfloat16, group=QBLOCK):
     b, k = x.shape
     n = qs.shape[1]
     tk, tn = _pick_tiles(b, k, n)
     grid = (n // tn, k // tk)
+    specs = [
+        pl.BlockSpec((b, tk), lambda j, kk: (0, kk)),
+        pl.BlockSpec((tk, tn), lambda j, kk: (kk, j)),
+        pl.BlockSpec((tk // group, tn), lambda j, kk: (kk, j)),
+    ]
+    args = [x, qs, scales]
+    if mins is not None:
+        kernel = functools.partial(_q8m_kernel, group=group)
+        specs.append(pl.BlockSpec((tk // group, tn), lambda j, kk: (kk, j)))
+        args.append(mins)
+    else:
+        kernel = functools.partial(_q8_kernel, group=group)
     return pl.pallas_call(
-        functools.partial(_q8_kernel, group=group),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((b, tk), lambda j, kk: (0, kk)),
-                pl.BlockSpec((tk, tn), lambda j, kk: (kk, j)),
-                pl.BlockSpec((tk // group, tn), lambda j, kk: (kk, j)),
-            ],
+            in_specs=specs,
             out_specs=pl.BlockSpec((b, tn), lambda j, kk: (0, j)),
             scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
         ),
@@ -109,14 +146,17 @@ def _q8_matmul(x, qs, scales, out_dtype=jnp.bfloat16, group=QBLOCK):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x, qs, scales)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
 # 4-bit kernel (split-half packed bytes)
 
 
-def _q4_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref, o_ref, acc_ref):
+def _q4_kernel(
+    x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref, o_ref, acc_ref,
+    mins_lo_ref=None, mins_hi_ref=None,
+):
     @pl.when(pl.program_id(1) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -138,6 +178,17 @@ def _q4_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref, o_ref, acc_ref)
         w_hi,
         preferred_element_type=jnp.float32,
     )
+    if mins_lo_ref is not None:
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(x_lo_ref[...], QBLOCK),
+            mins_lo_ref[...],
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(x_hi_ref[...], QBLOCK),
+            mins_hi_ref[...],
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
@@ -145,29 +196,45 @@ def _q4_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref, o_ref, acc_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype",))
-def _q4_matmul(x, qs, scales, out_dtype=jnp.bfloat16):
+def _q4_matmul(x, qs, scales, mins=None, out_dtype=jnp.bfloat16):
     b, k = x.shape
     n = qs.shape[1]
     tkb, tn = _pick_tiles(b, k // 2, n)  # tile in byte rows
     nk = (k // 2) // tkb  # number of k tiles (per half)
     grid = (n // tn, nk)
+    specs = [
+        # x low half slice [B, TKB] at k-offset kk*TKB
+        pl.BlockSpec((b, tkb), lambda j, kk: (0, kk)),
+        # x high half slice at k-offset K/2 + kk*TKB
+        pl.BlockSpec((b, tkb), lambda j, kk, nk=nk: (0, kk + nk)),
+        pl.BlockSpec((tkb, tn), lambda j, kk: (kk, j)),
+        pl.BlockSpec((tkb // QBLOCK, tn), lambda j, kk: (kk, j)),
+        pl.BlockSpec((tkb // QBLOCK, tn), lambda j, kk, nk=nk: (kk + nk, j)),
+    ]
+    args = [x, x, qs, scales, scales]
+    kernel = _q4_kernel
+    if mins is not None:
+        specs.append(pl.BlockSpec((tkb // QBLOCK, tn), lambda j, kk: (kk, j)))
+        specs.append(
+            pl.BlockSpec((tkb // QBLOCK, tn), lambda j, kk, nk=nk: (kk + nk, j))
+        )
+        args += [mins, mins]
+        kernel = functools.partial(_q4_kernel)
+
+        def kernel(*refs):  # reorder: mins refs arrive after o/acc
+            (x_lo, x_hi, qs_r, sc_lo, sc_hi, mins_lo, mins_hi, o, acc) = refs
+            return _q4_kernel(
+                x_lo, x_hi, qs_r, sc_lo, sc_hi, o, acc,
+                mins_lo_ref=mins_lo, mins_hi_ref=mins_hi,
+            )
+
     return pl.pallas_call(
-        _q4_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                # x low half slice [B, TKB] at k-offset kk*TKB
-                pl.BlockSpec((b, tkb), lambda j, kk: (0, kk)),
-                # x high half slice at k-offset K/2 + kk*TKB
-                pl.BlockSpec((b, tkb), lambda j, kk, nk=nk: (0, kk + nk)),
-                pl.BlockSpec((tkb, tn), lambda j, kk: (kk, j)),
-                pl.BlockSpec((tkb // QBLOCK, tn), lambda j, kk: (kk, j)),
-                pl.BlockSpec(
-                    (tkb // QBLOCK, tn), lambda j, kk, nk=nk: (kk + nk, j)
-                ),
-            ],
+            in_specs=specs,
             out_specs=pl.BlockSpec((b, tn), lambda j, kk: (0, j)),
             scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
         ),
@@ -180,7 +247,7 @@ def _q4_matmul(x, qs, scales, out_dtype=jnp.bfloat16):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(x, x, qs, scales, scales)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -223,11 +290,9 @@ def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
         out = (xb @ dequant_qtensor(qt)).astype(jnp.bfloat16)
         return out.reshape(*lead, qt.n)
     if qt.kind == "q8":
-        y = _q8_matmul(xb, qt.qs, qt.scales, group=qt.group)
+        y = _q8_matmul(xb, qt.qs, qt.scales, qt.mins, group=qt.group)
     else:
-        y = _q4_matmul(xb, qt.qs, qt.scales)
-    if qt.mins is not None:
-        y = (y.astype(jnp.float32) - mins_correction(xb, qt.mins, qt.group)).astype(y.dtype)
+        y = _q4_matmul(xb, qt.qs, qt.scales, qt.mins)
     return y.reshape(*lead, qt.n)
 
 

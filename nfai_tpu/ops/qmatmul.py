@@ -64,10 +64,18 @@ def _scaled_deq(q_bf16, sc, group):
 
 
 def _block_sums(x, group):
-    """[B, TK] -> [B, TK/g] per-scale-block activation sums (f32)."""
-    b, tk = x.shape
-    return jnp.sum(
-        x.astype(jnp.float32).reshape(b, tk // group, group), axis=-1
+    """[B, TK] -> [B, TK/g] per-scale-block activation sums (f32).
+
+    Implemented as a dot with a 0/1 block-selector matrix: Mosaic cannot
+    lower the lane-splitting reshape a segment-sum would need, and the MXU
+    does this for free alongside the main matmul."""
+    _, tk = x.shape
+    kb = tk // group
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tk, kb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tk, kb), 1)
+    sel = (rows // group == cols).astype(jnp.bfloat16)
+    return jax.lax.dot(
+        x.astype(jnp.bfloat16), sel, preferred_element_type=jnp.float32
     )
 
 
@@ -289,10 +297,18 @@ def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
     if not use_kernel or not kernel_supported(qt):
         out = (xb @ dequant_qtensor(qt)).astype(jnp.bfloat16)
         return out.reshape(*lead, qt.n)
+    # NOTE: in-kernel mins (pass qt.mins into the matmuls) was measured
+    # SLOWER than this external rank-1 correction at 1B/b8 on v5e (the
+    # selector-matrix block-sum dot costs more per tile than XLA's fused
+    # chain); keep the correction outside the kernels.
     if qt.kind == "q8":
-        y = _q8_matmul(xb, qt.qs, qt.scales, qt.mins, group=qt.group)
+        y = _q8_matmul(xb, qt.qs, qt.scales, None, group=qt.group)
     else:
-        y = _q4_matmul(xb, qt.qs, qt.scales, qt.mins)
+        y = _q4_matmul(xb, qt.qs, qt.scales, None)
+    if qt.mins is not None:
+        y = (
+            y.astype(jnp.float32) - mins_correction(xb, qt.mins, qt.group)
+        ).astype(y.dtype)
     return y.reshape(*lead, qt.n)
 
 

@@ -28,7 +28,7 @@ from ..gguf import GGUFFile, Keys
 from ..models import KVCache, prefill_step, resolve
 from ..models.llama import decode_loop
 from ..ops.sampling import sample_logits
-from ..tokenizer import BPETokenizer, ChatTemplate, Message, StreamDetokenizer
+from ..tokenizer import ChatTemplate, Message, StreamDetokenizer, tokenizer_from_gguf
 from ..utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -107,7 +107,7 @@ class InferenceEngine:
             self.model_cfg.hidden_size,
             time.perf_counter() - t0,
         )
-        self.tokenizer = BPETokenizer.from_gguf_metadata(g.metadata)
+        self.tokenizer = tokenizer_from_gguf(g.metadata)
         bos = (
             self.tokenizer.id_to_token.get(self.tokenizer.bos_id, "")
             if self.tokenizer.bos_id is not None

@@ -31,6 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .qtensor import QBLOCK, QTensor, dequant_qtensor
 
 
+# Engine sets this False under a device mesh: GSPMD shards the XLA dequant
+# fallback transparently, while pallas_call would need shard_map plumbing.
+KERNEL_ENABLED = True
+
+
 def _interpret() -> bool:
     # Pallas TPU kernels run in interpreter mode on CPU (tests / fallback)
     return jax.default_backend() == "cpu"
@@ -294,7 +299,7 @@ def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
     """
     lead = x.shape[:-1]
     xb = x.reshape(-1, qt.k)
-    if not use_kernel or not kernel_supported(qt):
+    if not use_kernel or not KERNEL_ENABLED or not kernel_supported(qt):
         out = (xb @ dequant_qtensor(qt)).astype(jnp.bfloat16)
         return out.reshape(*lead, qt.n)
     # NOTE: in-kernel mins (pass qt.mins into the matmuls) was measured

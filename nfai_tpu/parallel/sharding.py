@@ -36,30 +36,86 @@ def validate_tp(cfg, tp: int) -> None:
         )
 
 
-def llama_param_shardings(mesh: Mesh) -> dict:
+def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
     """Pytree of NamedShardings matching the params tree of models.llama.
 
     Layer weights have a leading stacked-layer axis (None). Weights stored
     (in, out): column-parallel shards the last axis, row-parallel the middle.
+    When `params` is given, quantized leaves (QTensor) get structure-matched
+    shardings: qs/scales/mins all shard along their last (N) axis for
+    column-parallel weights, along the K axis for row-parallel ones (the
+    4-bit split-half byte rows shard consistently — GSPMD semantics are
+    layout-independent). Quantized + mesh runs the XLA dequant path
+    (ops.qmatmul.KERNEL_ENABLED); Pallas kernels under shard_map are a
+    future optimization.
     """
+    from ..ops.qtensor import QTensor
+
     s = lambda *spec: NamedSharding(mesh, P(*spec))
-    return {
+
+    def wrap(name, col_parallel, row_parallel, stacked=True):
+        """Sharding for a (possibly quantized) weight entry."""
+        lead = (None,) if stacked else ()
+        if col_parallel:
+            spec2 = (*lead, None, TP_AXIS)
+        elif row_parallel:
+            spec2 = (*lead, TP_AXIS, None)
+        else:
+            spec2 = (*lead, None, None)
+        dense = s(*spec2)
+        if params is None:
+            return dense
+        leaf = params
+        for part in name.split("."):
+            if leaf is None or part not in leaf:
+                return dense
+            leaf = leaf[part]
+        if isinstance(leaf, QTensor):
+            return QTensor(
+                qs=dense,
+                scales=dense,
+                mins=dense if leaf.mins is not None else None,
+                kind=leaf.kind,
+                k=leaf.k,
+                n=leaf.n,
+                group=leaf.group,
+            )
+        return dense
+
+    layer_keys = {
+        "attn_norm": s(None, None),
+        "wq": wrap("layers.wq", True, False),
+        "wk": wrap("layers.wk", True, False),
+        "wv": wrap("layers.wv", True, False),
+        "wo": wrap("layers.wo", False, True),
+        "ffn_norm": s(None, None),
+        "w_gate": wrap("layers.w_gate", True, False),
+        "w_up": wrap("layers.w_up", True, False),
+        "w_down": wrap("layers.w_down", False, True),
+    }
+    if params is not None:
+        # optional per-arch tensors + only keys actually present
+        extra = {
+            "wq_bias": s(None, TP_AXIS),
+            "wk_bias": s(None, TP_AXIS),
+            "wv_bias": s(None, TP_AXIS),
+            "q_norm": s(None, None),
+            "k_norm": s(None, None),
+        }
+        layer_keys.update(extra)
+        layer_keys = {
+            k: v for k, v in layer_keys.items() if k in params["layers"]
+        }
+    out = {
         "embed": s(None, None),  # replicated (gather is tiny)
-        "layers": {
-            "attn_norm": s(None, None),
-            "wq": s(None, None, TP_AXIS),
-            "wk": s(None, None, TP_AXIS),
-            "wv": s(None, None, TP_AXIS),
-            "wo": s(None, TP_AXIS, None),
-            "ffn_norm": s(None, None),
-            "w_gate": s(None, None, TP_AXIS),
-            "w_up": s(None, None, TP_AXIS),
-            "w_down": s(None, TP_AXIS, None),
-        },
+        "layers": layer_keys,
         "final_norm": s(None),
-        "lm_head": s(None, TP_AXIS),
+        "lm_head": wrap("lm_head", True, False, stacked=False),
         "inv_freq": s(None),
     }
+    if params is not None and params.get("embed") is None:
+        out["embed"] = None  # tied quantized table lives under lm_head
+    return out
 
 
 def kv_cache_sharding(mesh: Mesh, batch: int | None = None) -> NamedSharding:

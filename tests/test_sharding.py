@@ -92,3 +92,43 @@ def test_cache_sharding_layout(tmp_path):
     spec = cache.k.sharding.spec
     assert spec[1] == TP_AXIS and spec[2] == DP_AXIS
     eng.gguf.close()
+
+
+def test_sharded_quantized_engine_matches_unsharded(tmp_path):
+    # quantized weights + (dp=2, tp=4) mesh: QTensor leaves get structure-
+    # matched shardings and matmuls take the GSPMD-sharded XLA dequant path
+    from nfai_tpu.gguf import GGMLType
+    from nfai_tpu.ops import qmatmul
+    from nfai_tpu.ops.qtensor import QTensor
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "sq.gguf",
+        vocab_size=256,
+        hidden=128,
+        n_layers=2,
+        n_heads=8,
+        n_kv_heads=4,
+        ffn_dim=256,
+        context_length=256,
+        quant=GGMLType.Q8_0,
+        seed=43,
+    )
+    base_cfg = dict(max_seq_len=96, dtype="float32", prefill_chunk=32)
+    plain = InferenceEngine(path, EngineConfig(**base_cfg))
+    prev = qmatmul.KERNEL_ENABLED
+    try:
+        sharded = InferenceEngine(
+            path, EngineConfig(**base_cfg, mesh_shape={"dp": 2, "tp": 4})
+        )
+        assert isinstance(sharded.params["layers"]["wq"], QTensor)
+        assert len(sharded.params["layers"]["wq"].qs.sharding.device_set) == 8
+
+        ids = [int(x) for x in np.random.default_rng(1).integers(5, 200, 9)]
+        s = SamplingParams(temperature=0.0, max_new_tokens=6)
+        with jax.sharding.set_mesh(sharded.mesh):
+            got = list(sharded.generate(ids, s))
+        expected = list(plain.generate(ids, s))
+        assert got == expected
+    finally:
+        qmatmul.KERNEL_ENABLED = prev
+        plain.gguf.close()

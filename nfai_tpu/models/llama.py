@@ -91,9 +91,9 @@ class LlamaConfig:
             attn_bias="blk.0.attn_q.bias" in g.tensors,
             qk_norm="blk.0.attn_q_norm.weight" in g.tensors,
             # ggml rope type is per-architecture: llama/mistral GGUFs carry
-            # the HF->ggml permutation (NORM, adjacent pairs); qwen-family
-            # and gemma checkpoints are unpermuted (NEOX, half-split pairs)
-            rope_neox=arch in ("qwen2", "qwen3", "gemma"),
+            # the HF->ggml permutation (NORM, adjacent pairs); qwen-family,
+            # gemma, and phi3 checkpoints are unpermuted (NEOX, half-split)
+            rope_neox=arch in ("qwen2", "qwen3", "gemma", "phi3"),
             activation="gelu" if arch == "gemma" else "silu",
             embed_scale=float(hidden) ** 0.5 if arch == "gemma" else 1.0,
         )
@@ -225,6 +225,18 @@ def load_params(
         return np.stack(items)
 
     templates = dict(_LAYER_TENSORS)
+    # phi3-style checkpoints ship pre-fused projections: map them straight
+    # onto the fused keys the forward already understands
+    if "blk.0.attn_qkv.weight" in g.tensors:
+        for k in ("wq", "wk", "wv"):
+            templates.pop(k)
+        templates["wqkv"] = "blk.{i}.attn_qkv.weight"
+    if "blk.0.ffn_gate.weight" not in g.tensors and "blk.0.ffn_up.weight" in g.tensors:
+        up_out = g.tensors["blk.0.ffn_up.weight"].shape[0]
+        if up_out == 2 * cfg.ffn_dim:  # fused [gate; up]
+            templates.pop("w_gate")
+            templates.pop("w_up")
+            templates["w_gate_up"] = "blk.{i}.ffn_up.weight"
     for key_name, (template, flag) in _OPTIONAL_LAYER_TENSORS.items():
         if getattr(cfg, flag):
             templates[key_name] = template
@@ -596,6 +608,8 @@ def _fuse_projections(layers: dict, cfg: LlamaConfig) -> None:
     from ..ops.qtensor import concat_qtensors
 
     def fuse_group(names: list[str], out_name: str, bias_names=None, bias_out=None):
+        if not all(n in layers for n in names):
+            return  # checkpoint shipped this group pre-fused
         cols = [layers[n] for n in names]
         fused = []
         for parts in zip(*cols):

@@ -61,6 +61,7 @@ def make_tiny_llama_gguf(
     tied: bool = True,
     attn_bias: bool = False,
     qk_norm: bool = False,
+    fused_tensors: bool = False,  # phi3-style: attn_qkv + fused ffn_up
     seed: int = 0,
     scale: float = 0.05,
 ) -> Path:
@@ -98,9 +99,15 @@ def make_tiny_llama_gguf(
     addw("token_embd.weight", rand(vocab_size, hidden))
     for i in range(n_layers):
         addw(f"blk.{i}.attn_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
-        addw(f"blk.{i}.attn_q.weight", rand(n_heads * head_dim, hidden))
-        addw(f"blk.{i}.attn_k.weight", rand(n_kv_heads * head_dim, hidden))
-        addw(f"blk.{i}.attn_v.weight", rand(n_kv_heads * head_dim, hidden))
+        if fused_tensors:
+            addw(
+                f"blk.{i}.attn_qkv.weight",
+                rand((n_heads + 2 * n_kv_heads) * head_dim, hidden),
+            )
+        else:
+            addw(f"blk.{i}.attn_q.weight", rand(n_heads * head_dim, hidden))
+            addw(f"blk.{i}.attn_k.weight", rand(n_kv_heads * head_dim, hidden))
+            addw(f"blk.{i}.attn_v.weight", rand(n_kv_heads * head_dim, hidden))
         addw(f"blk.{i}.attn_output.weight", rand(hidden, n_heads * head_dim))
         if attn_bias:
             addw(f"blk.{i}.attn_q.bias", rand(n_heads * head_dim), GGMLType.F32)
@@ -118,8 +125,11 @@ def make_tiny_llama_gguf(
                 GGMLType.F32,
             )
         addw(f"blk.{i}.ffn_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
-        addw(f"blk.{i}.ffn_gate.weight", rand(ffn_dim, hidden))
-        addw(f"blk.{i}.ffn_up.weight", rand(ffn_dim, hidden))
+        if fused_tensors:
+            addw(f"blk.{i}.ffn_up.weight", rand(2 * ffn_dim, hidden))
+        else:
+            addw(f"blk.{i}.ffn_gate.weight", rand(ffn_dim, hidden))
+            addw(f"blk.{i}.ffn_up.weight", rand(ffn_dim, hidden))
         addw(f"blk.{i}.ffn_down.weight", rand(hidden, ffn_dim))
     addw("output_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
     if not tied:

@@ -51,6 +51,11 @@ class LlamaConfig:
     rope_neox: bool = False  # ggml NEOX rope (qwen2/3, gemma) vs NORM (llama)
     activation: str = "silu"  # MLP gate activation ("silu" | "gelu")
     embed_scale: float = 1.0  # gemma multiplies embeddings by sqrt(hidden)
+    # mixture-of-experts (qwen3moe): 0 experts = dense FFN
+    n_experts: int = 0
+    n_experts_used: int = 0
+    moe_ffn_dim: int = 0
+    norm_topk_prob: bool = True
 
     @classmethod
     def from_gguf(cls, g: GGUFFile) -> "LlamaConfig":
@@ -63,6 +68,7 @@ class LlamaConfig:
             v = md.get(template.format(arch=arch))
             return default if v is None else v
 
+        n_experts = int(key(Keys.EXPERT_COUNT, 0) or 0)
         n_heads = int(key(Keys.HEAD_COUNT))
         hidden = int(key(Keys.EMBEDDING_LENGTH))
         head_dim = int(key(Keys.KEY_LENGTH, hidden // n_heads))
@@ -93,9 +99,14 @@ class LlamaConfig:
             # ggml rope type is per-architecture: llama/mistral GGUFs carry
             # the HF->ggml permutation (NORM, adjacent pairs); qwen-family,
             # gemma, and phi3 checkpoints are unpermuted (NEOX, half-split)
-            rope_neox=arch in ("qwen2", "qwen3", "gemma", "phi3"),
+            rope_neox=arch in ("qwen2", "qwen3", "gemma", "phi3", "qwen3moe"),
             activation="gelu" if arch == "gemma" else "silu",
             embed_scale=float(hidden) ** 0.5 if arch == "gemma" else 1.0,
+            n_experts=n_experts,
+            n_experts_used=int(key(Keys.EXPERT_USED_COUNT, 0) or 0),
+            moe_ffn_dim=int(
+                md.get(f"{arch}.expert_feed_forward_length", 0) or 0
+            ),
         )
 
 
@@ -191,7 +202,15 @@ def load_params(
         # kernel layout constraints (lane dim 128; 4-bit split halves)
         return k_in % 64 == 0 and n_out % 128 == 0
 
+    def mat3(tensor_name: str):
+        """Expert tensor [E, out, in] -> [E, in, out] (dense only for now)."""
+        return np.ascontiguousarray(
+            g.tensor_f32(tensor_name).transpose(0, 2, 1)
+        ).astype(dtype)
+
     def mat(tensor_name: str):
+        if "_exps" in tensor_name:
+            return mat3(tensor_name)
         if quantizable(tensor_name):
             desc = g.tensors[tensor_name]
             return pack_gguf_tensor(
@@ -225,6 +244,14 @@ def load_params(
         return np.stack(items)
 
     templates = dict(_LAYER_TENSORS)
+    if cfg.n_experts:
+        # MoE layers: router + stacked expert tensors replace the dense FFN
+        for k in ("w_gate", "w_up", "w_down"):
+            templates.pop(k)
+        templates["router"] = "blk.{i}.ffn_gate_inp.weight"
+        templates["w_gate_exps"] = "blk.{i}.ffn_gate_exps.weight"
+        templates["w_up_exps"] = "blk.{i}.ffn_up_exps.weight"
+        templates["w_down_exps"] = "blk.{i}.ffn_down_exps.weight"
     # phi3-style checkpoints ship pre-fused projections: map them straight
     # onto the fused keys the forward already understands
     if "blk.0.attn_qkv.weight" in g.tensors:
@@ -462,12 +489,18 @@ def forward(
         act = jax.nn.silu if cfg.activation == "silu" else partial(
             jax.nn.gelu, approximate=True
         )
-        if "w_gate_up" in lp:  # fused projection: one kernel launch
+        if cfg.n_experts:
+            ffn_out = _moe_ffn(x, lp, cfg, act)
+        elif "w_gate_up" in lp:  # fused projection: one kernel launch
             gu = linear(x, lp["w_gate_up"])
-            gated = act(gu[..., : cfg.ffn_dim]) * gu[..., cfg.ffn_dim :]
+            ffn_out = linear(
+                act(gu[..., : cfg.ffn_dim]) * gu[..., cfg.ffn_dim :],
+                lp["w_down"],
+            )
         else:
             gated = act(linear(x, lp["w_gate"])) * linear(x, lp["w_up"])
-        h = (h + linear(gated, lp["w_down"])).astype(activation_dtype)
+            ffn_out = linear(gated, lp["w_down"])
+        h = (h + ffn_out).astype(activation_dtype)
         return h, (k_cache_l, v_cache_l)
 
     h, (new_k, new_v) = jax.lax.scan(
@@ -645,3 +678,39 @@ def _fuse_projections(layers: dict, cfg: LlamaConfig) -> None:
         "wqkv_bias",
     )
     fuse_group(["w_gate", "w_up"], "w_gate_up")
+
+
+def _moe_ffn(x: jax.Array, lp: dict, cfg: LlamaConfig, act) -> jax.Array:
+    """Mixture-of-experts FFN (qwen3moe): softmax router, top-k dispatch with
+    optionally renormalized weights.
+
+    Computes every expert densely and combines with the (sparse) routing
+    weights — exactly correct, O(E/k) overcompute. Production-scale MoE wants
+    grouped matmuls (jax.experimental.pallas.ops.tpu.megablox) behind the
+    same contract; the routing math here is the reference semantics.
+    """
+    b, t, hdim = x.shape
+    e, used = cfg.n_experts, cfg.n_experts_used
+    # router stored (in, out) = [H, E] like every other matmul weight
+    router_logits = jnp.einsum(
+        "bth,he->bte", x.astype(jnp.float32), lp["router"].astype(jnp.float32)
+    )
+    probs = jax.nn.softmax(router_logits, axis=-1)  # [B,T,E]
+    top_vals, top_idx = jax.lax.top_k(probs, used)
+    if cfg.norm_topk_prob:
+        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    # scatter the top-k weights back to a dense [B,T,E] mixing vector
+    mix = jnp.sum(
+        jax.nn.one_hot(top_idx, e, dtype=jnp.float32)
+        * top_vals[..., None],
+        axis=-2,
+    )
+    # dense all-expert compute: gate/up/down are [E, K, N]
+    xe = x.astype(lp["w_gate_exps"].dtype)
+    gate = jnp.einsum("bth,ehf->btef", xe, lp["w_gate_exps"])
+    up = jnp.einsum("bth,ehf->btef", xe, lp["w_up_exps"])
+    inner = act(gate) * up  # [B,T,E,F]
+    down = jnp.einsum("btef,efh->bteh", inner, lp["w_down_exps"])
+    return jnp.einsum(
+        "bteh,bte->bth", down.astype(jnp.float32), mix
+    ).astype(x.dtype)

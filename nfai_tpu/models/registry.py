@@ -52,7 +52,7 @@ def resolve(g: GGUFFile) -> ModelFamily:
 # architectures whose GGUF tensor schema is the llama layout, plus optional
 # per-arch extras handled by config flags (qwen2 attn biases, qwen3 q/k norms)
 LLAMA_LIKE_ARCHS = frozenset(
-    {"llama", "mistral", "qwen2", "qwen3", "gemma", "phi3"}
+    {"llama", "mistral", "qwen2", "qwen3", "gemma", "phi3", "qwen3moe"}
 )
 
 

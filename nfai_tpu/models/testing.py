@@ -62,6 +62,8 @@ def make_tiny_llama_gguf(
     attn_bias: bool = False,
     qk_norm: bool = False,
     fused_tensors: bool = False,  # phi3-style: attn_qkv + fused ffn_up
+    n_experts: int = 0,  # qwen3moe-style MoE FFN
+    n_experts_used: int = 0,
     seed: int = 0,
     scale: float = 0.05,
 ) -> Path:
@@ -87,6 +89,10 @@ def make_tiny_llama_gguf(
     w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add(f"{arch}.rope.freq_base", rope_base)
     w.add(f"{arch}.vocab_size", vocab_size)
+    if n_experts:
+        w.add(f"{arch}.expert_count", n_experts)
+        w.add(f"{arch}.expert_used_count", n_experts_used or 2)
+        w.add(f"{arch}.expert_feed_forward_length", ffn_dim)
     for k, v in tok_md.items():
         w.add(k, v)
 
@@ -125,12 +131,18 @@ def make_tiny_llama_gguf(
                 GGMLType.F32,
             )
         addw(f"blk.{i}.ffn_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
-        if fused_tensors:
+        if n_experts:
+            addw(f"blk.{i}.ffn_gate_inp.weight", rand(n_experts, hidden), GGMLType.F32)
+            addw(f"blk.{i}.ffn_gate_exps.weight", rand(n_experts, ffn_dim, hidden))
+            addw(f"blk.{i}.ffn_up_exps.weight", rand(n_experts, ffn_dim, hidden))
+            addw(f"blk.{i}.ffn_down_exps.weight", rand(n_experts, hidden, ffn_dim))
+        elif fused_tensors:
             addw(f"blk.{i}.ffn_up.weight", rand(2 * ffn_dim, hidden))
         else:
             addw(f"blk.{i}.ffn_gate.weight", rand(ffn_dim, hidden))
             addw(f"blk.{i}.ffn_up.weight", rand(ffn_dim, hidden))
-        addw(f"blk.{i}.ffn_down.weight", rand(hidden, ffn_dim))
+        if not n_experts:
+            addw(f"blk.{i}.ffn_down.weight", rand(hidden, ffn_dim))
     addw("output_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
     if not tied:
         addw("output.weight", rand(vocab_size, hidden))

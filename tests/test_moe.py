@@ -1,0 +1,113 @@
+"""Qwen3-MoE family: router/expert loading + HF golden parity."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nfai_tpu.gguf import GGUFFile
+from nfai_tpu.models import KVCache, LlamaConfig, forward, load_params, logits_for
+from nfai_tpu.models.testing import make_tiny_llama_gguf
+
+
+def test_moe_config_and_loading(tmp_path):
+    path = make_tiny_llama_gguf(
+        tmp_path / "moe.gguf", arch="qwen3moe", n_experts=4, n_experts_used=2,
+        qk_norm=True,
+    )
+    with GGUFFile.open(path) as g:
+        cfg = LlamaConfig.from_gguf(g)
+        assert cfg.n_experts == 4 and cfg.n_experts_used == 2
+        params = load_params(g, cfg, dtype=jnp.float32)
+    assert params["layers"]["router"].shape == (2, 64, 4)  # (L, in, E)
+    assert params["layers"]["w_gate_exps"].shape == (2, 4, 64, 128)
+
+
+def test_moe_hf_golden_parity(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "moehf.gguf",
+        arch="qwen3moe",
+        n_experts=4,
+        n_experts_used=2,
+        qk_norm=True,
+        hidden=64,
+        n_heads=4,
+        n_kv_heads=2,
+        ffn_dim=96,
+        seed=51,
+    )
+    g = GGUFFile.open(path)
+    cfg = LlamaConfig.from_gguf(g)
+    params = load_params(g, cfg, dtype=jnp.float32)
+
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.ffn_dim,
+        moe_intermediate_size=cfg.moe_ffn_dim,
+        num_hidden_layers=cfg.n_layers,
+        num_attention_heads=cfg.n_heads,
+        num_key_value_heads=cfg.n_kv_heads,
+        head_dim=cfg.head_dim,
+        rms_norm_eps=cfg.rms_eps,
+        rope_theta=cfg.rope_base,
+        max_position_embeddings=cfg.context_length,
+        tie_word_embeddings=True,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+    )
+    model = Qwen3MoeForCausalLM(hf_cfg)
+    sd = model.state_dict()
+
+    def setw(key, arr):
+        sd[key].copy_(torch.from_numpy(np.ascontiguousarray(arr)))
+
+    with torch.no_grad():
+        setw("model.embed_tokens.weight", g.tensor_f32("token_embd.weight"))
+        setw("model.norm.weight", g.tensor_f32("output_norm.weight"))
+        for i in range(cfg.n_layers):
+            setw(f"model.layers.{i}.input_layernorm.weight",
+                 g.tensor_f32(f"blk.{i}.attn_norm.weight"))
+            setw(f"model.layers.{i}.post_attention_layernorm.weight",
+                 g.tensor_f32(f"blk.{i}.ffn_norm.weight"))
+            setw(f"model.layers.{i}.self_attn.q_proj.weight",
+                 g.tensor_f32(f"blk.{i}.attn_q.weight"))
+            setw(f"model.layers.{i}.self_attn.k_proj.weight",
+                 g.tensor_f32(f"blk.{i}.attn_k.weight"))
+            setw(f"model.layers.{i}.self_attn.v_proj.weight",
+                 g.tensor_f32(f"blk.{i}.attn_v.weight"))
+            setw(f"model.layers.{i}.self_attn.o_proj.weight",
+                 g.tensor_f32(f"blk.{i}.attn_output.weight"))
+            setw(f"model.layers.{i}.self_attn.q_norm.weight",
+                 g.tensor_f32(f"blk.{i}.attn_q_norm.weight"))
+            setw(f"model.layers.{i}.self_attn.k_norm.weight",
+                 g.tensor_f32(f"blk.{i}.attn_k_norm.weight"))
+            setw(f"model.layers.{i}.mlp.gate.weight",
+                 g.tensor_f32(f"blk.{i}.ffn_gate_inp.weight"))
+            gexp = g.tensor_f32(f"blk.{i}.ffn_gate_exps.weight")
+            uexp = g.tensor_f32(f"blk.{i}.ffn_up_exps.weight")
+            dexp = g.tensor_f32(f"blk.{i}.ffn_down_exps.weight")
+            for e in range(4):
+                setw(f"model.layers.{i}.mlp.experts.{e}.gate_proj.weight", gexp[e])
+                setw(f"model.layers.{i}.mlp.experts.{e}.up_proj.weight", uexp[e])
+                setw(f"model.layers.{i}.mlp.experts.{e}.down_proj.weight", dexp[e])
+    model.eval()
+
+    toks = np.array([[5, 17, 100, 42]], dtype=np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(toks)).logits.numpy()[0]
+
+    cache = KVCache.zeros(cfg, 1, 8, jnp.float32)
+    h, _ = forward(
+        params, cfg, jnp.asarray(toks.astype(np.int32)),
+        jnp.arange(4, dtype=jnp.int32)[None, :], cache,
+        activation_dtype=jnp.float32,
+    )
+    ours = np.asarray(logits_for(params, h)[0])
+    np.testing.assert_allclose(ours, hf_logits, rtol=3e-4, atol=3e-4)
+    g.close()

@@ -18,6 +18,7 @@ class SamplingParams:
     top_p: float = 0.95
     seed: int | None = None
     max_new_tokens: int = 512
+    stop: tuple[str, ...] = ()  # stop strings (checked on the decoded text)
 
     @property
     def greedy(self) -> bool:

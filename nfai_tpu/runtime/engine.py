@@ -28,7 +28,13 @@ from ..gguf import GGUFFile, Keys
 from ..models import KVCache, prefill_step, resolve
 from ..models.llama import decode_loop
 from ..ops.sampling import sample_logits
-from ..tokenizer import ChatTemplate, Message, StreamDetokenizer, tokenizer_from_gguf
+from ..tokenizer import (
+    ChatTemplate,
+    Message,
+    StreamDetokenizer,
+    TextStopper,
+    tokenizer_from_gguf,
+)
 from ..utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -328,6 +334,7 @@ class ChatSession:
         new_ids = ids[common:]
 
         detok = StreamDetokenizer(self.engine.tokenizer)
+        stopper = TextStopper(self.sampling.stop)
         reply_ids: list[int] = []
         metrics = GenerationMetrics()
         for tok in self.engine.generate(
@@ -337,10 +344,20 @@ class ChatSession:
             reply_ids.append(tok)
             piece = detok.push(tok)
             if piece:
-                yield piece
-        tail = detok.flush()
-        if tail:
-            yield tail
+                emit, done = stopper.feed(piece)
+                if emit:
+                    yield emit
+                if done:
+                    break
+        else:
+            tail = detok.flush()
+            if tail:
+                emit, _ = stopper.feed(tail)
+                if emit:
+                    yield emit
+            final = stopper.flush()
+            if final:
+                yield final
         self.last_metrics = metrics
         # the cache holds KV for exactly _last_pos tokens (the final sampled
         # token may never have run through decode_step)

@@ -29,7 +29,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from .config import EngineConfig, SamplingParams
 from .runtime.engine import InferenceEngine
 from .runtime.scheduler import BatchEngine
-from .tokenizer import Message, StreamDetokenizer
+from .tokenizer import Message, StreamDetokenizer, TextStopper
 from .utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -45,6 +45,9 @@ class ServerState:
 
 
 def _sampling_from_body(body: dict) -> SamplingParams:
+    stop = body.get("stop") or ()
+    if isinstance(stop, str):
+        stop = (stop,)
     return SamplingParams(
         temperature=float(body.get("temperature", 0.5)),
         top_k=int(body.get("top_k", 40)),
@@ -53,6 +56,7 @@ def _sampling_from_body(body: dict) -> SamplingParams:
         max_new_tokens=int(
             body.get("max_tokens") or body.get("max_completion_tokens") or 512
         ),
+        stop=tuple(str(s) for s in stop),
     )
 
 
@@ -173,10 +177,16 @@ def make_handler(state: ServerState):
                 self.close_connection = True
                 self.end_headers()
                 detok = StreamDetokenizer(eng.tokenizer)
+                stopper = TextStopper(sampling.stop)
                 for tok in req.stream(timeout=600):
-                    piece = detok.push(tok)
-                    if not piece:
+                    raw = detok.push(tok)
+                    if not raw:
                         continue
+                    piece, stopped = stopper.feed(raw)
+                    if not piece and not stopped:
+                        continue
+                    if stopped and not piece:
+                        break
                     delta = (
                         {"delta": {"content": piece}}
                         if chat
@@ -190,7 +200,9 @@ def make_handler(state: ServerState):
                         "choices": [{"index": 0, **delta, "finish_reason": None}],
                     }
                     self._sse(chunk)
-                tail = detok.flush()
+                    if stopped:
+                        break
+                tail = detok.flush() + stopper.flush() if not stopper.done else ""
                 if tail:
                     delta = {"delta": {"content": tail}} if chat else {"text": tail}
                     self._sse(
@@ -222,6 +234,10 @@ def make_handler(state: ServerState):
             else:
                 tokens = list(req.stream(timeout=600))
                 text = eng.tokenizer.decode(tokens, skip_special=True)
+                for s in sampling.stop:
+                    idx = text.find(s)
+                    if idx != -1:
+                        text = text[:idx]
                 content = (
                     {"message": {"role": "assistant", "content": text}}
                     if chat

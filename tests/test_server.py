@@ -153,3 +153,20 @@ def test_concurrent_requests(server):
     assert len(results) == 3
     for body in results.values():
         assert body["choices"][0]["finish_reason"] == "stop"
+
+
+def test_stop_sequences(server):
+    # with stop=["\n"], the first newline truncates the reply (the tiny model
+    # mostly emits newlines, so this reliably triggers)
+    with _post(
+        server,
+        "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "temperature": 0,
+            "max_tokens": 8,
+            "stop": "\n",
+        },
+    ) as r:
+        body = json.loads(r.read())
+    assert "\n" not in body["choices"][0]["message"]["content"]

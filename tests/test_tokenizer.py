@@ -141,3 +141,22 @@ def test_chat_template_blocks_unsafe_attributes():
     except jinja2.exceptions.SecurityError:
         return
     assert "class" not in out and out.strip() == ""
+
+
+def test_text_stopper():
+    from nfai_tpu.tokenizer import TextStopper
+
+    s = TextStopper(["STOP"])
+    assert s.feed("hello ST") == ("hello", False)  # holds back possible prefix
+    assert s.feed("OP world") == (" ", True)  # stop found across pieces
+    assert s.done
+
+    s2 = TextStopper([])
+    assert s2.feed("abc") == ("abc", False)
+    s3 = TextStopper(["xy"])
+    out = []
+    for piece in ("a", "b", "x", "q"):
+        e, d = s3.feed(piece)
+        out.append(e)
+        assert not d
+    assert "".join(out) + s3.flush() == "abxq"

@@ -15,6 +15,27 @@ from ..gguf.constants import Keys
 from ..tokenizer.bpe import TokenType, bytes_to_unicode
 
 
+def tiny_spm_tokenizer_metadata() -> dict:
+    """SPM-style vocab: <unk>/<s>/</s> + 256 byte pieces (+ scores), so any
+    string tokenizes via byte fallback. Exercises the llama-2/gemma path."""
+    pieces = ["<unk>", "<s>", "</s>"]
+    types = [TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL]
+    for b in range(256):
+        pieces.append(f"<0x{b:02X}>")
+        types.append(TokenType.BYTE)
+    pieces.append("▁")
+    types.append(TokenType.NORMAL)
+    return {
+        Keys.TOKENIZER_MODEL: "llama",
+        Keys.TOKENIZER_TOKENS: pieces,
+        "tokenizer.ggml.scores": [0.0] * len(pieces),
+        Keys.TOKENIZER_TOKEN_TYPE: types,
+        Keys.TOKENIZER_BOS: 1,
+        Keys.TOKENIZER_EOS: 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+    }
+
+
 def tiny_tokenizer_metadata() -> dict:
     """A byte-level vocab (256 byte tokens + llama-3 specials), no merges.
 
@@ -62,6 +83,7 @@ def make_tiny_llama_gguf(
     attn_bias: bool = False,
     qk_norm: bool = False,
     fused_tensors: bool = False,  # phi3-style: attn_qkv + fused ffn_up
+    spm_tokenizer: bool = False,  # llama-2-style SPM vocab instead of BPE
     n_experts: int = 0,  # qwen3moe-style MoE FFN
     n_experts_used: int = 0,
     seed: int = 0,
@@ -69,7 +91,7 @@ def make_tiny_llama_gguf(
 ) -> Path:
     """Write a random-weight llama-schema GGUF (llama/mistral/qwen2/qwen3)."""
     rng = np.random.default_rng(seed)
-    tok_md = tiny_tokenizer_metadata()
+    tok_md = tiny_spm_tokenizer_metadata() if spm_tokenizer else tiny_tokenizer_metadata()
     if vocab_size is None:
         # pad to a multiple of 8 so tensor-parallel vocab sharding divides
         # (model vocab >= tokenizer vocab, as in real llama checkpoints)

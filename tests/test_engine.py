@@ -156,3 +156,19 @@ def test_session_load_wrong_model_rejected(chat_engine, engine, tmp_path):
 
     with _pytest.raises(ValueError):
         ChatSession.load(engine, tmp_path / "x.npz")
+
+
+def test_spm_tokenizer_engine_integration(tmp_path):
+    # llama-2-style checkpoint (SPM vocab, byte fallback) end-to-end
+    from nfai_tpu.tokenizer import SPMTokenizer
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "spm.gguf", n_layers=2, context_length=512, spm_tokenizer=True
+    )
+    eng = InferenceEngine(
+        path, EngineConfig(max_seq_len=256, dtype="float32", prefill_chunk=64)
+    )
+    assert isinstance(eng.tokenizer, SPMTokenizer)
+    out = eng.generate_text("hello world", greedy(n=5))
+    assert isinstance(out, str)
+    eng.gguf.close()

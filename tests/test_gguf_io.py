@@ -160,3 +160,27 @@ def test_native_fused_transpose(tmp_path, rng):
     with GGUFFile.open(p) as g:
         wt = g.tensor_f32_transposed("w")
         np.testing.assert_allclose(wt, g.tensor_f32("w").T, rtol=1e-6, atol=1e-7)
+
+
+def test_truncation_fuzz(tmp_path, rng):
+    """Random truncations of a valid file must raise cleanly, never hang."""
+    w = GGUFWriter()
+    w.add(Keys.ARCHITECTURE, "llama")
+    w.add("k.arr", [1, 2, 3])
+    w.add_tensor("t", rng.standard_normal((4, 32)).astype(np.float32))
+    blob = w.to_bytes()
+    for frac in (0.1, 0.3, 0.5, 0.9, 0.99):
+        cut = int(len(blob) * frac)
+        p = tmp_path / f"cut_{cut}.gguf"
+        p.write_bytes(blob[:cut])
+        try:
+            g = GGUFFile.open(p)
+            # header may parse; tensor reads past EOF must fail cleanly
+            for name in g.tensors:
+                try:
+                    g.tensor_f32(name)
+                except Exception:
+                    pass
+            g.close()
+        except Exception:
+            pass  # any clean exception is acceptable; hangs/crashes are not

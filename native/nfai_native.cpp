@@ -31,10 +31,12 @@ inline float f16_to_f32(uint16_t h) {
         if (mant == 0) {
             bits = sign;
         } else {  // subnormal: normalize
+            // value = mant * 2^-24; with the leading 1 shifted up to bit 10
+            // the f32 biased exponent is 127 - 24 + (10 - shift) = 113 - shift
             int shift = 0;
             while (!(mant & 0x400)) { mant <<= 1; ++shift; }
             mant &= 0x3FF;
-            bits = sign | ((uint32_t)(127 - 15 - shift) << 23) | (mant << 13);
+            bits = sign | ((uint32_t)(113 - shift) << 23) | (mant << 13);
         }
     } else if (exp == 31) {
         bits = sign | 0x7F800000u | (mant << 13);

@@ -77,14 +77,17 @@ def main(argv=None) -> int:
 
     from .gguf import GGUFFile
     from .models import LlamaConfig, load_params
-    from .tokenizer import BPETokenizer
+    from .tokenizer import tokenizer_from_gguf
     from .utils.jax_setup import enable_persistent_cache
 
     enable_persistent_cache()
     text = open(args.text, encoding="utf-8").read()
     with GGUFFile.open(args.gguf) as g:
         cfg = LlamaConfig.from_gguf(g)
-        tok = BPETokenizer.from_gguf_metadata(g.metadata)
+        # dispatches BPE vs SPM by tokenizer.ggml.model (SPM checkpoints fed
+        # through the BPE path would fall back to <0xXX> byte tokens and
+        # silently skew the perplexity)
+        tok = tokenizer_from_gguf(g.metadata)
         ids = np.asarray(tok.encode(text), np.int32)
         if args.max_tokens:
             ids = ids[: args.max_tokens]

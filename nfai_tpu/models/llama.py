@@ -222,12 +222,27 @@ def load_params(
 
     def stack(items):
         """Stack per-layer params; QTensors stack leaf-wise (scan slices them
-        back per layer)."""
-        if isinstance(items[0], QTensor):
+        back per layer). Mixed quant kinds across layers (Q4_K_M files mix
+        Q6_K/Q4_K for ffn_down/attn_v) are promoted losslessly to a common
+        container; a quantized/dense mix dequantizes the whole stack."""
+        from ..ops.qtensor import dequant_qtensor, unify_qtensors
+
+        if any(isinstance(it, QTensor) for it in items):
+            if not all(isinstance(it, QTensor) for it in items):
+                items = [
+                    np.asarray(dequant_qtensor(it), dtype)
+                    if isinstance(it, QTensor)
+                    else it
+                    for it in items
+                ]
+                return np.stack(items)
             if not all(
-                isinstance(it, QTensor) and it.kind == items[0].kind for it in items
+                it.kind == items[0].kind
+                and it.group == items[0].group
+                and (it.mins is None) == (items[0].mins is None)
+                for it in items
             ):
-                raise ValueError("mixed quantization kinds across layers")
+                items = unify_qtensors(items)
             return QTensor(
                 qs=np.stack([it.qs for it in items]),
                 scales=np.stack([it.scales for it in items]),
@@ -296,8 +311,17 @@ def load_params(
         lm_head = mat("output.weight")
 
     if "rope_freqs.weight" in g.tensors:
-        # llama.cpp stores precomputed (scaled) inverse frequencies for 3.1+
-        inv_freq = g.tensor_f32("rope_freqs.weight").astype(np.float32)
+        # llama.cpp stores per-dim frequency *divisors* (freq_factors,
+        # values ~1..scaling_factor) for 3.1+: ggml computes
+        # theta = pos * inv_freq[i] / freq_factors[i], so the effective
+        # inverse frequency is base_inv_freq / factors (NOT the tensor
+        # itself — using it directly would make angles pos*factor).
+        factors = g.tensor_f32("rope_freqs.weight").astype(np.float64)
+        base_inv = 1.0 / (
+            cfg.rope_base
+            ** (np.arange(0, cfg.head_dim, 2, dtype=np.float64) / cfg.head_dim)
+        )
+        inv_freq = (base_inv / factors).astype(np.float32)
     else:
         inv_freq = compute_inv_freq(
             cfg.head_dim,
@@ -568,6 +592,7 @@ def decode_loop(
     top_p: jax.Array | float = 0.95,
     uniform_start: bool = True,
     active: jax.Array | None = None,  # [B] bool; inactive slots emit pad
+    top_k_rows: jax.Array | None = None,  # [B] per-row top-k within top_k
 ) -> tuple[jax.Array, jax.Array, KVCache, jax.Array]:
     """Generate `n_steps` tokens fully on device (no host sync per token).
 
@@ -582,7 +607,9 @@ def decode_loop(
         tok, pos, cache, key = carry
         logits, cache = _decode_one(params, cfg, tok, pos, cache, uniform_start)
         key, sub = jax.random.split(key)
-        nxt = sample_logits(logits, sub, temperature, top_k, top_p).astype(tok.dtype)
+        nxt = sample_logits(
+            logits, sub, temperature, top_k, top_p, top_k_rows
+        ).astype(tok.dtype)
         if active is not None:
             # frozen slots keep emitting their token and never advance
             nxt = jnp.where(active, nxt, tok)

@@ -88,6 +88,8 @@ def make_tiny_llama_gguf(
     n_experts_used: int = 0,
     seed: int = 0,
     scale: float = 0.05,
+    quant_overrides: dict | None = None,  # tensor name -> GGMLType
+    rope_freqs: np.ndarray | None = None,  # llama-3.1-style freq_factors
 ) -> Path:
     """Write a random-weight llama-schema GGUF (llama/mistral/qwen2/qwen3)."""
     rng = np.random.default_rng(seed)
@@ -122,9 +124,14 @@ def make_tiny_llama_gguf(
         return (rng.standard_normal(shape) * scale).astype(np.float32)
 
     def addw(name, arr, q=quant):
+        if quant_overrides and name in quant_overrides:
+            q = quant_overrides[name]
         w.add_tensor(name, arr, q)
 
     addw("token_embd.weight", rand(vocab_size, hidden))
+    if rope_freqs is not None:
+        # llama.cpp's per-dim frequency divisors (theta /= factors[i])
+        addw("rope_freqs.weight", rope_freqs.astype(np.float32), GGMLType.F32)
     for i in range(n_layers):
         addw(f"blk.{i}.attn_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
         if fused_tensors:

@@ -268,6 +268,54 @@ def pack_gguf_tensor(
     )
 
 
+def promote_qtensor(
+    qt: QTensor, kind: str, group: int, with_mins: bool
+) -> QTensor:
+    """Losslessly re-express a QTensor in a wider container so per-layer
+    tensors of mixed GGUF kinds can be stacked (Q4_K_M files mix Q6_K and
+    Q4_K for ffn_down/attn_v via llama.cpp's use_more_bits).
+
+    - "q4" → "q8": unpack split-half nibbles to int8 [K, N] (same values,
+      same scales/mins — bit-exact, 2x the qs bytes);
+    - group g → finer group g' (g % g' == 0): repeat each scale/min row;
+    - symmetric → affine: add zero mins (value = s*q - 0).
+    """
+    if kind == "q4" and qt.kind == "q8":
+        raise ValueError("cannot narrow q8 -> q4")
+    if qt.group % group:
+        raise ValueError(f"cannot regroup {qt.group} -> {group}")
+    qs, scales, mins = qt.qs, qt.scales, qt.mins
+    if qt.kind == "q4" and kind == "q8":
+        u = np.asarray(qs).view(np.uint8)
+        qs = np.concatenate([u & 0x0F, u >> 4], axis=-2).astype(np.int8)
+    rep = qt.group // group
+    if rep > 1:
+        scales = np.repeat(np.asarray(scales), rep, axis=-2)
+        mins = np.repeat(np.asarray(mins), rep, axis=-2) if mins is not None else None
+    if with_mins and mins is None:
+        mins = np.zeros_like(np.asarray(scales))
+    return QTensor(
+        qs=qs, scales=scales, mins=mins, kind=kind, k=qt.k, n=qt.n, group=group
+    )
+
+
+def unify_qtensors(items: list["QTensor"]) -> list["QTensor"]:
+    """Promote a list of same-shape QTensors to one common (kind, group,
+    mins) representation so they can be stacked layer-wise."""
+    import math
+
+    kind = "q8" if any(it.kind == "q8" for it in items) else "q4"
+    group = math.gcd(*(it.group for it in items))
+    with_mins = any(it.mins is not None for it in items)
+    return [
+        it
+        if (it.kind == kind and it.group == group
+            and (it.mins is not None) == with_mins)
+        else promote_qtensor(it, kind, group, with_mins)
+        for it in items
+    ]
+
+
 def concat_qtensors(items: list["QTensor"]) -> "QTensor":
     """Concatenate along the output (N) axis — used to fuse QKV / gate+up
     projections into one kernel launch. Kinds/groups/K must match."""

@@ -19,13 +19,16 @@ def sample_logits(
     temperature: float | jax.Array = 0.5,
     top_k: int = 40,
     top_p: float | jax.Array = 0.95,
+    top_k_rows: jax.Array | None = None,  # [B] int32 per-row top-k (traced)
 ) -> jax.Array:
     """Sample next token ids [B] with temperature / top-k / top-p filtering.
 
     `top_k` must be static (it bounds the sort width); temperature and top_p
     may be traced, either scalars or per-row [B] arrays (continuous batching
-    mixes requests with different sampling settings). temperature <= 0 is
-    greedy argmax (per row).
+    mixes requests with different sampling settings). `top_k_rows` applies a
+    per-row top-k *within* the static `top_k` window by masking ranks >=
+    top_k_rows[i] — exact for per-row values <= the window width.
+    temperature <= 0 is greedy argmax (per row).
     """
     logits = logits.astype(jnp.float32)
     static_temp = isinstance(temperature, (int, float))
@@ -55,6 +58,12 @@ def sample_logits(
     else:
         top_vals = jnp.sort(scaled, axis=-1)[..., ::-1]
         top_idx = jnp.argsort(scaled, axis=-1)[..., ::-1]
+
+    if top_k_rows is not None:
+        # per-row top-k: drop ranks beyond the row's own k (rank 0 always kept)
+        ranks = jnp.arange(top_vals.shape[-1])[None, :]
+        kk = jnp.maximum(jnp.asarray(top_k_rows, jnp.int32), 1)[:, None]
+        top_vals = jnp.where(ranks < kk, top_vals, NEG_INF)
 
     # top-p over the sorted distribution: keep the smallest prefix whose
     # cumulative probability exceeds p (always at least one token)

@@ -28,6 +28,8 @@ def validate_tp(cfg, tp: int) -> None:
         problems.append(f"n_kv_heads={cfg.n_kv_heads}")
     if cfg.ffn_dim % tp:
         problems.append(f"ffn_dim={cfg.ffn_dim}")
+    if getattr(cfg, "moe_ffn_dim", 0) and cfg.moe_ffn_dim % tp:
+        problems.append(f"moe_ffn_dim={cfg.moe_ffn_dim}")
     if cfg.vocab_size % tp:
         problems.append(f"vocab_size={cfg.vocab_size}")
     if problems:
@@ -92,6 +94,15 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
         "w_gate": wrap("layers.w_gate", True, False),
         "w_up": wrap("layers.w_up", True, False),
         "w_down": wrap("layers.w_down", False, True),
+        # pre-fused projections (phi3 checkpoints, or fuse=True loads).
+        # Column sharding splits the concatenated [q|k|v] / [gate|up] axis
+        # into contiguous chip-slices that straddle section boundaries —
+        # GSPMD keeps the logical array semantics, so the downstream static
+        # slices stay correct (resharding collectives are inserted as
+        # needed); hand-written shard_map kernels need section-aware
+        # repacking instead (see engine TP notes).
+        "wqkv": wrap("layers.wqkv", True, False),
+        "w_gate_up": wrap("layers.w_gate_up", True, False),
     }
     if params is not None:
         # optional per-arch tensors + only keys actually present
@@ -99,8 +110,17 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
             "wq_bias": s(None, TP_AXIS),
             "wk_bias": s(None, TP_AXIS),
             "wv_bias": s(None, TP_AXIS),
+            "wqkv_bias": s(None, TP_AXIS),
             "q_norm": s(None, None),
             "k_norm": s(None, None),
+            # MoE (qwen3moe): router is tiny -> replicated; expert stacks
+            # [L, E, K, N] shard the ffn dim (N for gate/up, K for down) so
+            # every chip holds a slice of every expert (EP sharding over a
+            # dedicated expert axis is a separate mesh layout)
+            "router": s(None, None, None),
+            "w_gate_exps": s(None, None, None, TP_AXIS),
+            "w_up_exps": s(None, None, None, TP_AXIS),
+            "w_down_exps": s(None, None, TP_AXIS, None),
         }
         layer_keys.update(extra)
         layer_keys = {

@@ -94,9 +94,12 @@ class BatchEngine:
         self._key = jax.random.PRNGKey(0)
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
-        # top_k is static in the sampling kernel; use one global width and
-        # apply per-request top_k by masking within it
+        # the sampling kernel's sort width is static (one compiled variant);
+        # per-request top_k is applied exactly by masking ranks within this
+        # window (sample_logits top_k_rows). Requests asking for MORE than
+        # the window are clamped to it — logged once per engine.
         self.top_k = 64
+        self._warned_topk_clamp = False
 
     # -- client API --------------------------------------------------------
     def submit(
@@ -156,7 +159,10 @@ class BatchEngine:
 
         s = req.sampling
         tok = int(
-            sample_logits(logits, sub, s.temperature, min(s.top_k, self.top_k), s.top_p)[0]
+            sample_logits(
+                logits, sub, s.temperature, self.top_k, s.top_p,
+                top_k_rows=jnp.asarray([self._effective_top_k(s.top_k)]),
+            )[0]
         )
         slot = self.slots[slot_idx]
         slot.request = req
@@ -167,6 +173,20 @@ class BatchEngine:
         slot.next_token = tok
         req.state = RequestState.RUNNING
         self._emit(slot_idx, [tok])
+
+    def _effective_top_k(self, requested: int) -> int:
+        """Clamp a request's top_k to the static sampling window. top_k <= 0
+        means "disabled" (sample from the whole window)."""
+        if requested <= 0 or requested >= self.top_k:
+            if requested > self.top_k and not self._warned_topk_clamp:
+                self._warned_topk_clamp = True
+                log.warning(
+                    "request top_k=%d exceeds the engine sampling window "
+                    "(%d); clamping (larger windows: BatchEngine.top_k)",
+                    requested, self.top_k,
+                )
+            return self.top_k
+        return requested
 
     def _emit(self, slot_idx: int, tokens: list[int]) -> None:
         """Push tokens to the request stream; finish on EOS/budget."""
@@ -213,6 +233,7 @@ class BatchEngine:
         active = np.zeros(B, bool)
         temps = np.zeros(B, np.float32)
         top_ps = np.ones(B, np.float32)
+        top_ks = np.full(B, self.top_k, np.int32)
         for i in active_idx:
             s = self.slots[i]
             tokens[i] = s.next_token
@@ -220,6 +241,7 @@ class BatchEngine:
             active[i] = True
             temps[i] = s.request.sampling.temperature
             top_ps[i] = s.request.sampling.top_p
+            top_ks[i] = self._effective_top_k(s.request.sampling.top_k)
         self._key, sub = jax.random.split(self._key)
         toks, nxt, self.cache, _ = decode_loop(
             self.engine.params,
@@ -234,6 +256,7 @@ class BatchEngine:
             jnp.asarray(top_ps),
             uniform_start=False,
             active=jnp.asarray(active),
+            top_k_rows=jnp.asarray(top_ks),
         )
         toks_host = np.asarray(toks)
         nxt_host = np.asarray(nxt)

@@ -137,15 +137,21 @@ def test_native_dequant_matches_numpy(rng):
 
     if _native_lib() is None:
         pytest.skip("native library build unavailable")
-    for t in (GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.F16):
-        x = rng.standard_normal(512).astype(np.float32)
-        enc = quantize(x, t)
-        np.testing.assert_allclose(
-            native.dequantize_native(enc, 512, t),
-            dequantize(enc, 512, t),
-            rtol=1e-6,
-            atol=1e-7,
-        )
+    # tiny magnitudes force *subnormal* f16 block scales — regression for the
+    # f16_to_f32 denormal exponent bug (decoded exactly half)
+    for mag in (1.0, 1e-6):
+        for t in (
+            GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K,
+            GGMLType.Q5_K, GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q6_K,
+            GGMLType.F16,
+        ):
+            x = (rng.standard_normal(512) * mag).astype(np.float32)
+            enc = quantize(x, t)
+            np.testing.assert_array_equal(
+                native.dequantize_native(enc, 512, t),
+                dequantize(enc, 512, t),
+                err_msg=f"{t.name} mag={mag}",
+            )
 
 
 def test_native_fused_transpose(tmp_path, rng):

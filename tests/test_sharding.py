@@ -132,3 +132,64 @@ def test_sharded_quantized_engine_matches_unsharded(tmp_path):
     finally:
         qmatmul.KERNEL_ENABLED = prev
         plain.gguf.close()
+
+
+def test_sharded_prefused_phi3_layout(tmp_path):
+    """phi3-style pre-fused wqkv / w_gate_up checkpoints must load under TP
+    (ADVICE round 1: sharding tree lacked these keys and device_put crashed)."""
+    path = make_tiny_llama_gguf(
+        tmp_path / "f.gguf",
+        arch="phi3",
+        hidden=128,
+        n_layers=2,
+        n_heads=8,
+        n_kv_heads=8,
+        ffn_dim=256,
+        fused_tensors=True,
+        seed=7,
+    )
+    base_cfg = dict(max_seq_len=96, dtype="float32", prefill_chunk=32)
+    plain = InferenceEngine(path, EngineConfig(**base_cfg))
+    sharded = InferenceEngine(
+        path, EngineConfig(**base_cfg, mesh_shape={"dp": 2, "tp": 4})
+    )
+    assert "wqkv" in sharded.params["layers"]
+    ids = [int(x) for x in np.random.default_rng(3).integers(5, 200, 9)]
+    s = SamplingParams(temperature=0.0, max_new_tokens=6)
+    with jax.sharding.set_mesh(sharded.mesh):
+        got = list(sharded.generate(ids, s))
+    expected = list(plain.generate(ids, s))
+    assert got == expected
+    plain.gguf.close()
+    sharded.gguf.close()
+
+
+def test_sharded_moe_layout(tmp_path):
+    """qwen3moe expert tensors shard the ffn dim under TP."""
+    path = make_tiny_llama_gguf(
+        tmp_path / "moe.gguf",
+        arch="qwen3moe",
+        hidden=128,
+        n_layers=2,
+        n_heads=8,
+        n_kv_heads=4,
+        ffn_dim=64,
+        n_experts=4,
+        n_experts_used=2,
+        qk_norm=True,
+        seed=11,
+    )
+    base_cfg = dict(max_seq_len=96, dtype="float32", prefill_chunk=32)
+    plain = InferenceEngine(path, EngineConfig(**base_cfg))
+    sharded = InferenceEngine(
+        path, EngineConfig(**base_cfg, mesh_shape={"dp": 2, "tp": 4})
+    )
+    assert "w_gate_exps" in sharded.params["layers"]
+    ids = [int(x) for x in np.random.default_rng(5).integers(5, 200, 9)]
+    s = SamplingParams(temperature=0.0, max_new_tokens=6)
+    with jax.sharding.set_mesh(sharded.mesh):
+        got = list(sharded.generate(ids, s))
+    expected = list(plain.generate(ids, s))
+    assert got == expected
+    plain.gguf.close()
+    sharded.gguf.close()

@@ -47,6 +47,9 @@ def main() -> int:
     p.add_argument("--hbm-gbps", type=float, default=819.0,
                    help="chip HBM bandwidth for the roofline (v5e: 819)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--decode-only", action="store_true",
+                   help="skip prefill (zeros cache at position --prompt); "
+                        "much faster iteration when prefill is compile-cold")
     args = p.parse_args()
 
     from nfai_tpu.utils.jax_setup import enable_persistent_cache
@@ -139,19 +142,23 @@ def main() -> int:
         return np.asarray(jnp.sum(x.astype(jnp.float32)))
 
     # -- prefill / TTFT ----------------------------------------------------
-    t0 = time.perf_counter()
-    logits, cache = prefill_step(params, cfg, tokens, positions, last, cache)
-    sync(logits)
-    compile_ttft = time.perf_counter() - t0
-    # warm TTFT: fresh cache, compiled path
-    cache2 = KVCache.zeros(cfg, B, args.seq, dtype)
-    sync(cache2.k)
-    t0 = time.perf_counter()
-    logits, cache2 = prefill_step(params, cfg, tokens, positions, last, cache2)
-    sync(logits)
-    ttft = time.perf_counter() - t0
-    cache = cache2
-    log(f"prefill({B}x{T}): first {compile_ttft:.2f}s (compile), warm {ttft*1e3:.1f} ms")
+    if args.decode_only:
+        logits = jnp.zeros((B, vocab), jnp.float32)
+        log("prefill skipped (--decode-only)")
+    else:
+        t0 = time.perf_counter()
+        logits, cache = prefill_step(params, cfg, tokens, positions, last, cache)
+        sync(logits)
+        compile_ttft = time.perf_counter() - t0
+        # warm TTFT: fresh cache, compiled path
+        cache2 = KVCache.zeros(cfg, B, args.seq, dtype)
+        sync(cache2.k)
+        t0 = time.perf_counter()
+        logits, cache2 = prefill_step(params, cfg, tokens, positions, last, cache2)
+        sync(logits)
+        ttft = time.perf_counter() - t0
+        cache = cache2
+        log(f"prefill({B}x{T}): first {compile_ttft:.2f}s (compile), warm {ttft*1e3:.1f} ms")
 
     # -- decode ------------------------------------------------------------
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -1,4 +1,6 @@
 """Ablate the 1B decode step: which part eats the time?"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, sys, numpy as np, jax, jax.numpy as jnp
 from functools import partial
 from nfai_tpu.utils.jax_setup import enable_persistent_cache

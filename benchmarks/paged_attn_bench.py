@@ -1,3 +1,6 @@
+
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp, time
 from nfai_tpu.utils.jax_setup import enable_persistent_cache
 enable_persistent_cache()

@@ -42,6 +42,13 @@ class EngineConfig:
     page_size: int = 128  # KV cache page granularity
     prefill_chunk: int = 256  # prompt chunking bucket for jit shape stability
     decode_chunk: int = 32  # tokens generated per on-device fused decode call
+    # continuous batching (BatchEngine): paged KV pool with block tables and
+    # prompt-prefix sharing; False = dense per-slot lanes (debug/compare)
+    paged_kv: bool = True
+    # KV pool capacity in tokens (paged only). None = max_batch x max_seq
+    # (dense-equivalent); smaller pools trade capacity for HBM, relying on
+    # prefix sharing + actual-length allocation
+    kv_pool_tokens: int | None = None
     # mesh: axis name -> size; empty = single device
     mesh_shape: dict[str, int] = field(default_factory=dict)
     system_prompt: str = "You are a helpful assistant."

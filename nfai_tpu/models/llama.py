@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf import GGUFFile, Keys
-from ..ops import apply_rope, compute_inv_freq, rms_norm
+from ..ops import compute_inv_freq, rms_norm
+from ..ops.rope import apply_rope_cs, rope_cos_sin
 from ..ops.qmatmul import linear
 from ..ops.qtensor import QTensor, dequant_gather
 
@@ -290,6 +291,34 @@ def load_params(
                 layers[key_name].append(g.tensor_f32(t).astype(np.float32))
             else:
                 layers[key_name].append(mat(t))
+    if not cfg.rope_neox and "wq" in layers:
+        # NORM-convention checkpoints (llama/mistral: HF->ggml permutation
+        # baked into wq/wk) are converted back to the half-split NEOX layout
+        # here, so the hot loop always runs the shuffle-free rope (the
+        # adjacent-pair rotation costs lane interleaves on TPU). Scores are
+        # invariant: q and k columns permute together. See ops.rope.
+        from ..ops.rope import norm_to_neox_perm
+
+        def permute_cols(w, perm):
+            if isinstance(w, QTensor):
+                return QTensor(
+                    qs=w.qs[:, perm], scales=w.scales[:, perm],
+                    mins=None if w.mins is None else w.mins[:, perm],
+                    kind=w.kind, k=w.k, n=w.n, group=w.group,
+                )
+            return np.ascontiguousarray(w[:, perm])
+
+        q_perm = norm_to_neox_perm(cfg.n_heads, cfg.head_dim)
+        k_perm = norm_to_neox_perm(cfg.n_kv_heads, cfg.head_dim)
+        layers["wq"] = [permute_cols(w, q_perm) for w in layers["wq"]]
+        layers["wk"] = [permute_cols(w, k_perm) for w in layers["wk"]]
+        if "wq_bias" in layers:
+            layers["wq_bias"] = [b[q_perm] for b in layers["wq_bias"]]
+            layers["wk_bias"] = [b[k_perm] for b in layers["wk_bias"]]
+        if "q_norm" in layers:  # defensive: NORM + qk_norm combination
+            within = q_perm[: cfg.head_dim]
+            layers["q_norm"] = [w[within] for w in layers["q_norm"]]
+            layers["k_norm"] = [w[within] for w in layers["k_norm"]]
     if fuse:
         _fuse_projections(layers, cfg)
     stacked = {k: put(k, stack(v)) for k, v in layers.items()}
@@ -410,6 +439,46 @@ def _cached_attention(
     return out.reshape(b, t, hq, d)
 
 
+def _gather_pages(pages: jax.Array, tables: jax.Array) -> jax.Array:
+    """[Hkv, P, ps, D] + [B, NP] -> dense [Hkv, B, NP*ps, D] view of each
+    sequence's pages (prefill-chunk attention path; decode uses the paged
+    kernel without materializing this)."""
+    g = jnp.take(pages, tables, axis=1)  # [Hkv, B, NP, ps, D]
+    hkv, b, np_, ps, d = g.shape
+    return g.reshape(hkv, b, np_ * ps, d)
+
+
+def _paged_attention(
+    q: jax.Array,  # [B, T, Hq, D]
+    k_pages: jax.Array,  # [Hkv, P, ps, D]
+    v_pages: jax.Array,
+    tables: jax.Array,  # [B, NP]
+    positions: jax.Array,  # [B, T]
+) -> jax.Array:
+    """Attention of new tokens against paged KV (already written).
+
+    T == 1 takes the block-table Pallas kernel (page-skip past each
+    sequence's length); prefill chunks gather the sequence's pages into a
+    dense view and reuse the masked dense path.
+    """
+    b, t, hq, d = q.shape
+    if t == 1:
+        from ..ops.paged_attention import paged_flash_decode_attention
+
+        out = paged_flash_decode_attention(
+            q[:, 0],
+            k_pages,
+            v_pages,
+            tables,
+            positions[:, 0] + 1,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return out[:, None].astype(q.dtype)
+    kd = _gather_pages(k_pages, tables)
+    vd = _gather_pages(v_pages, tables)
+    return _cached_attention(q, kd, vd, positions)
+
+
 def _write_cache(
     cache: jax.Array, new: jax.Array, starts: jax.Array, uniform_start: bool
 ) -> jax.Array:
@@ -440,6 +509,7 @@ def forward(
     activation_dtype=None,
     uniform_start: bool = True,
     attend_len: int | None = None,
+    page_tables: jax.Array | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Run the transformer stack; returns (hidden [B,T,H], updated cache).
 
@@ -451,6 +521,11 @@ def forward(
     tokens are written into the cache at ``positions[:, 0]`` (contiguous
     per-sequence layout), then attention runs against the whole cache.
     `activation_dtype` defaults to the weight dtype.
+
+    With `page_tables` [B, max_pages], `cache` is a paged pool
+    (runtime.paged_cache.PagedKVCache: [L, Hkv, P, ps, D]) and each
+    sequence's positions map onto pages through its table row — writes
+    scatter through the table and attention runs the block-table kernel.
     """
     b, t = tokens.shape
     if activation_dtype is None:
@@ -465,7 +540,10 @@ def forward(
     if cfg.embed_scale != 1.0:
         # gemma scales embeddings by sqrt(hidden) (in the model, not the file)
         h = (h.astype(jnp.float32) * cfg.embed_scale).astype(activation_dtype)
-    inv_freq = params["inv_freq"]
+    # rope angles are identical in every layer: compute cos/sin once per step
+    # (load_params converts NORM checkpoints to the NEOX layout, so rotation
+    # is always the shuffle-free half-split form — see ops.rope)
+    cos, sin = rope_cos_sin(positions, params["inv_freq"])
     starts = positions[:, 0]
 
     def layer_step(h, layer_in):
@@ -494,11 +572,19 @@ def forward(
         if cfg.qk_norm:
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        q = apply_rope(q, positions, inv_freq, neox=cfg.rope_neox)
-        k = apply_rope(k, positions, inv_freq, neox=cfg.rope_neox)
-        k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
-        v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
-        if attend_len is not None and attend_len < k_cache_l.shape[2]:
+        q = apply_rope_cs(q, cos, sin, neox=True)
+        k = apply_rope_cs(k, cos, sin, neox=True)
+        if page_tables is not None:
+            from ..runtime.paged_cache import write_paged
+
+            k_cache_l = write_paged(k_cache_l, k, page_tables, positions)
+            v_cache_l = write_paged(v_cache_l, v, page_tables, positions)
+            attn = _paged_attention(
+                q, k_cache_l, v_cache_l, page_tables, positions
+            )
+        elif attend_len is not None and attend_len < k_cache_l.shape[2]:
+            k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
+            v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
             attn = _cached_attention(
                 q,
                 k_cache_l[:, :, :attend_len],
@@ -506,6 +592,8 @@ def forward(
                 positions,
             )
         else:
+            k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
+            v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
             attn = _cached_attention(q, k_cache_l, v_cache_l, positions)
         attn = attn.reshape(b, t, cfg.n_heads * cfg.head_dim)
         h = (h + linear(attn, lp["wo"])).astype(activation_dtype)
@@ -531,7 +619,7 @@ def forward(
         layer_step, h, (params["layers"], cache.k, cache.v)
     )
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
-    return h, KVCache(new_k, new_v)
+    return h, type(cache)(new_k, new_v)
 
 
 def logits_for(params: dict, hidden: jax.Array) -> jax.Array:
@@ -658,6 +746,76 @@ def prefill_slot_step(
     k = jax.lax.dynamic_update_slice_in_dim(cache.k, slot_cache.k, slot, axis=2)
     v = jax.lax.dynamic_update_slice_in_dim(cache.v, slot_cache.v, slot, axis=2)
     return logits, KVCache(k, v)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def paged_prefill_step(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [1, T_chunk]
+    positions: jax.Array,  # [1, T_chunk]
+    last_index: jax.Array,  # [1]
+    cache,  # PagedKVCache pool [L, Hkv, P, ps, D]
+    tables: jax.Array,  # [1, max_pages] the slot's block table
+) -> tuple[jax.Array, Any]:
+    """Prefill one sequence's (padded) chunk through its block table; returns
+    logits at the chunk's last real token + the updated pool. Unlike the
+    dense `prefill_slot_step` there is no per-slot cache lane to slice — the
+    pool is shared and the table isolates the slot's pages."""
+    h, cache = forward(
+        params, cfg, tokens, positions, cache, page_tables=tables
+    )
+    h_last = jnp.take_along_axis(h, last_index[:, None, None], axis=1)
+    return logits_for(params, h_last)[:, 0, :], cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "top_k"),
+    donate_argnames=("cache",),
+)
+def paged_decode_loop(
+    params: dict,
+    cfg: LlamaConfig,
+    first_tokens: jax.Array,  # [B]
+    start_pos: jax.Array,  # [B]
+    cache,  # PagedKVCache pool
+    tables: jax.Array,  # [B, max_pages]
+    key: jax.Array,
+    n_steps: int,
+    temperature: jax.Array | float = 0.0,
+    top_k: int = 40,
+    top_p: jax.Array | float = 0.95,
+    active: jax.Array | None = None,
+    top_k_rows: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, Any, jax.Array]:
+    """`decode_loop` over the paged pool: same fused-chunk semantics, with
+    KV writes scattered through the block tables and attention via the
+    block-table flash kernel."""
+    from ..ops.sampling import sample_logits
+
+    def body(carry, _):
+        tok, pos, cache, key = carry
+        h, cache = forward(
+            params, cfg, tok[:, None], pos[:, None], cache,
+            page_tables=tables,
+        )
+        logits = logits_for(params, h)[:, 0, :]
+        key, sub = jax.random.split(key)
+        nxt = sample_logits(
+            logits, sub, temperature, top_k, top_p, top_k_rows
+        ).astype(tok.dtype)
+        if active is not None:
+            nxt = jnp.where(active, nxt, tok)
+            pos_next = jnp.where(active, pos + 1, pos)
+        else:
+            pos_next = pos + 1
+        return (nxt, pos_next, cache, key), tok
+
+    (next_tok, _, cache, key), toks = jax.lax.scan(
+        body, (first_tokens, start_pos, cache, key), length=n_steps
+    )
+    return jnp.moveaxis(toks, 0, 1), next_tok, cache, key
 
 
 def _fuse_projections(layers: dict, cfg: LlamaConfig) -> None:

@@ -49,22 +49,35 @@ def compute_inv_freq(
     raise ValueError(f"unsupported rope scaling type {scaling_type!r}")
 
 
-def apply_rope(
-    x: jax.Array,  # [..., seq, heads, head_dim]
+def rope_cos_sin(
     positions: jax.Array,  # [..., seq]
     inv_freq: jax.Array,  # [head_dim // 2]
+) -> tuple[jax.Array, jax.Array]:
+    """Precompute (cos, sin) tables [..., seq, head_dim/2] for a batch of
+    positions. Hoisted out of the per-layer scan: every layer shares the same
+    angles, so the trig runs once per token step instead of twice per layer."""
+    theta = positions[..., :, None].astype(jnp.float32) * inv_freq[None, :]
+    return jnp.cos(theta), jnp.sin(theta)
+
+
+def apply_rope_cs(
+    x: jax.Array,  # [..., seq, heads, head_dim]
+    cos: jax.Array,  # [..., seq, head_dim // 2]
+    sin: jax.Array,
     neox: bool = False,
 ) -> jax.Array:
-    """Rotary embedding in either ggml convention.
+    """Rotary embedding from precomputed cos/sin, in either ggml convention.
 
     `neox=False` (ggml NORM, llama/mistral GGUFs — the HF permutation is
-    baked into the weights): rotate adjacent pairs (2i, 2i+1).
+    baked into the weights): rotate adjacent pairs (2i, 2i+1). This needs an
+    even/odd lane interleave, which costs lane shuffles on TPU —
+    `models.llama.load_params` converts NORM checkpoints to the NEOX layout
+    at load time precisely to avoid this path in the hot loop.
     `neox=True` (ggml NEOX, qwen2/qwen3 and other unpermuted checkpoints):
-    rotate half-split pairs (i, i + head_dim/2).
+    rotate half-split pairs (i, i + head_dim/2) — contiguous slices only.
     """
-    theta = positions[..., :, None].astype(jnp.float32) * inv_freq[None, :]
-    cos = jnp.cos(theta)[..., :, None, :]  # [..., seq, 1, hd/2]
-    sin = jnp.sin(theta)[..., :, None, :]
+    cos = cos[..., :, None, :]  # [..., seq, 1, hd/2]
+    sin = sin[..., :, None, :]
     shape = x.shape
     xf = x.astype(jnp.float32)
     if neox:
@@ -78,3 +91,30 @@ def apply_rope(
         r_odd = even * sin + odd * cos
         out = jnp.stack([r_even, r_odd], axis=-1).reshape(shape)
     return out.astype(x.dtype)
+
+
+def apply_rope(
+    x: jax.Array,  # [..., seq, heads, head_dim]
+    positions: jax.Array,  # [..., seq]
+    inv_freq: jax.Array,  # [head_dim // 2]
+    neox: bool = False,
+) -> jax.Array:
+    """Rotary embedding in either ggml convention (see apply_rope_cs)."""
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    return apply_rope_cs(x, cos, sin, neox)
+
+
+def norm_to_neox_perm(n_heads: int, head_dim: int) -> np.ndarray:
+    """Output-column permutation converting a ggml-NORM q/k projection to the
+    half-split (NEOX/HF) layout.
+
+    llama.cpp's convert permutes HF rows h*D + v*(D/2)+u to ggml rows
+    h*D + 2u+v so adjacent-pair rotation matches HF's half-split rotation.
+    Inverting it at load lets the hot loop always run the shuffle-free NEOX
+    rope; attention scores are invariant because q and k permute together.
+    """
+    half = head_dim // 2
+    i = np.arange(head_dim)
+    within = 2 * (i % half) + i // half  # perm[v*half+u] = 2u+v
+    heads = np.arange(n_heads)[:, None] * head_dim
+    return (heads + within[None, :]).reshape(-1)

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SamplingParams
-from ..models.llama import decode_loop, prefill_slot_step
+from ..models.llama import (
+    decode_loop,
+    paged_decode_loop,
+    paged_prefill_step,
+    prefill_slot_step,
+)
 from ..utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -73,6 +78,7 @@ class _Slot:
     pos: int = 0  # tokens with KV written
     budget: int = 0  # max tokens this request may still emit
     next_token: int = 0  # token sampled but not yet fed through the model
+    pages: list[int] = field(default_factory=list)  # paged mode: block table
 
 
 class BatchEngine:
@@ -81,14 +87,26 @@ class BatchEngine:
     Drive it synchronously with `step()` (tests, embedding) or start the
     background thread with `start()` (server). Thread-safety: `submit` may be
     called from any thread; `step` must run on one thread only.
+
+    With `paged=True` (default) KV lives in a shared page pool with per-slot
+    block tables: page-granular allocation (no per-slot max_seq reservation),
+    prompt-prefix sharing across requests (a request whose prompt starts with
+    a previously-served prefix skips prefilling those pages entirely), and
+    recompute-preemption when the pool runs dry mid-generation.
     """
 
-    def __init__(self, engine, max_batch: int = 8, decode_chunk: int = 8):
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 8,
+        decode_chunk: int = 8,
+        paged: bool | None = None,
+        pool_tokens: int | None = None,
+    ):
         self.engine = engine
         self.max_batch = max_batch
         self.decode_chunk = decode_chunk
         self.slots = [_Slot() for _ in range(max_batch)]
-        self.cache = engine.new_cache(max_batch)
         self.queue: queue.Queue[Request] = queue.Queue()
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(0)
@@ -100,6 +118,30 @@ class BatchEngine:
         # the window are clamped to it — logged once per engine.
         self.top_k = 64
         self._warned_topk_clamp = False
+
+        cfg = engine.config
+        self.paged = cfg.paged_kv if paged is None else paged
+        if self.paged:
+            from .paged_cache import PagedKVCache, PageAllocator
+
+            ps = cfg.page_size
+            tokens = pool_tokens or cfg.kv_pool_tokens or (
+                max_batch * engine.max_seq_len
+            )
+            n_pages = -(-tokens // ps) + 1  # + reserved sink page
+            self.page_size = ps
+            self.max_pages = -(-engine.max_seq_len // ps)
+            self.alloc = PageAllocator(n_pages, ps)
+            self.cache = PagedKVCache.zeros(
+                engine.model_cfg, n_pages, ps, engine.cache_dtype
+            )
+            log.info(
+                "paged KV pool: %d pages x %d tokens (%.1f MB)",
+                n_pages, ps,
+                self.cache.k.nbytes * 2 / 1e6,
+            )
+        else:
+            self.cache = engine.new_cache(max_batch)
 
     # -- client API --------------------------------------------------------
     def submit(
@@ -130,30 +172,92 @@ class BatchEngine:
                 req = self.queue.get_nowait()
             except queue.Empty:
                 return
-            self._prefill_into(i, req)
+            if not self._prefill_into(i, req):
+                # pool exhausted: park the request at the queue head and stop
+                # admitting until capacity frees up
+                self._requeue_front(req)
+                return
 
-    def _prefill_into(self, slot_idx: int, req: Request) -> None:
+    def _requeue_front(self, req: Request) -> None:
+        req.state = RequestState.QUEUED
+        held = []
+        while True:
+            try:
+                held.append(self.queue.get_nowait())
+            except queue.Empty:
+                break
+        self.queue.put(req)
+        for r in held:
+            self.queue.put(r)
+
+    def _prefill_into(self, slot_idx: int, req: Request) -> bool:
+        """Prefill a request into a slot; returns False when the paged pool
+        cannot hold its prompt (caller requeues). A preempted request's
+        already-emitted tokens are part of the sequence to rebuild."""
         eng = self.engine
-        ids = np.asarray(req.prompt_ids, np.int32)
-        pos = 0
-        logits = None
+        full_ids = list(req.prompt_ids) + list(req.output_ids)
+        ids = np.asarray(full_ids, np.int32)
         chunk_cap = eng.config.prefill_chunk
+
+        slot = self.slots[slot_idx]
+        start = 0
+        if self.paged:
+            from .paged_cache import OutOfPages
+
+            shared, start = self.alloc.lookup_prefix(full_ids)
+            ps = self.page_size
+            # page coverage must include padded chunk tails (their writes
+            # land in-slot past the prompt; masked by position later)
+            pos, max_end = start, start
+            while pos < ids.size:
+                take = min(chunk_cap, ids.size - pos)
+                bucket = min(_next_bucket(take, chunk_cap), eng.max_seq_len - pos)
+                max_end = max(max_end, pos + bucket)
+                pos += take
+            need = -(-max_end // ps) - len(shared)
+            try:
+                new_pages = self.alloc.alloc(need) if need > 0 else []
+            except OutOfPages:
+                self.alloc.release(shared)
+                return False
+            slot.pages = list(shared) + list(new_pages)
+            if start:
+                log.debug(
+                    "req %d: prefix cache hit, %d/%d tokens shared",
+                    req.id, start, ids.size,
+                )
+
+        logits = None
+        pos = start
         while pos < ids.size:
             take = min(chunk_cap, ids.size - pos)
             bucket = min(_next_bucket(take, chunk_cap), eng.max_seq_len - pos)
             chunk = np.zeros(bucket, np.int32)
             chunk[:take] = ids[pos : pos + take]
             positions = np.arange(pos, pos + bucket, dtype=np.int32)
-            logits, self.cache = prefill_slot_step(
-                eng.params,
-                eng.model_cfg,
-                jnp.asarray(chunk[None, :]),
-                jnp.asarray(positions[None, :]),
-                jnp.asarray([take - 1], jnp.int32),
-                self.cache,
-                jnp.int32(slot_idx),
-            )
+            if self.paged:
+                logits, self.cache = paged_prefill_step(
+                    eng.params,
+                    eng.model_cfg,
+                    jnp.asarray(chunk[None, :]),
+                    jnp.asarray(positions[None, :]),
+                    jnp.asarray([take - 1], jnp.int32),
+                    self.cache,
+                    jnp.asarray(self._table_row(slot_idx)[None, :]),
+                )
+            else:
+                logits, self.cache = prefill_slot_step(
+                    eng.params,
+                    eng.model_cfg,
+                    jnp.asarray(chunk[None, :]),
+                    jnp.asarray(positions[None, :]),
+                    jnp.asarray([take - 1], jnp.int32),
+                    self.cache,
+                    jnp.int32(slot_idx),
+                )
             pos += take
+        if self.paged:
+            self.alloc.publish_prefix(full_ids, slot.pages)
         self._key, sub = jax.random.split(self._key)
         from ..ops.sampling import sample_logits
 
@@ -164,15 +268,22 @@ class BatchEngine:
                 top_k_rows=jnp.asarray([self._effective_top_k(s.top_k)]),
             )[0]
         )
-        slot = self.slots[slot_idx]
         slot.request = req
         slot.pos = ids.size
         slot.budget = min(
-            s.max_new_tokens, self.engine.max_seq_len - ids.size
+            s.max_new_tokens - len(req.output_ids),
+            self.engine.max_seq_len - ids.size,
         )
         slot.next_token = tok
         req.state = RequestState.RUNNING
         self._emit(slot_idx, [tok])
+        return True
+
+    def _table_row(self, slot_idx: int) -> np.ndarray:
+        row = np.zeros(self.max_pages, np.int32)  # sink-padded
+        pages = self.slots[slot_idx].pages
+        row[: len(pages)] = pages
+        return row
 
     def _effective_top_k(self, requested: int) -> int:
         """Clamp a request's top_k to the static sampling window. top_k <= 0
@@ -211,7 +322,61 @@ class BatchEngine:
         req.state = RequestState.FINISHED
         req.finished_at = time.perf_counter()
         req.out.put(_END)
+        if self.paged and slot.pages:
+            self.alloc.release(slot.pages)
         self.slots[slot_idx] = _Slot()
+
+    def _preempt(self, slot_idx: int) -> None:
+        """Recompute-preemption: free the slot's pages and requeue the
+        request; on re-admission its prompt + already-emitted tokens are
+        prefilled again (usually cheap — the pages stay warm in the prefix
+        cache) and generation continues without visible interruption."""
+        slot = self.slots[slot_idx]
+        req = slot.request
+        log.info(
+            "preempting request %d (%d tokens generated) — KV pool full",
+            req.id, len(req.output_ids),
+        )
+        if slot.pages:
+            self.alloc.release(slot.pages)
+        self.slots[slot_idx] = _Slot()
+        self._requeue_front(req)
+
+    def _grow_tables(self, active_idx: list[int], n: int) -> list[int]:
+        """Ensure each active slot's block table covers pos + n more tokens;
+        preempts the youngest slots when the pool is exhausted. Returns the
+        still-active indices."""
+        from .paged_cache import OutOfPages
+
+        ps = self.page_size
+        # oldest-first page growth; youngest-first preemption victims
+        for i in sorted(
+            active_idx, key=lambda j: self.slots[j].request.submitted_at
+        ):
+            slot = self.slots[i]
+            need = -(-(slot.pos + n) // ps) - len(slot.pages)
+            while need > 0:
+                try:
+                    slot.pages.extend(self.alloc.alloc(need))
+                    need = 0
+                except OutOfPages:
+                    victims = [
+                        j
+                        for j in active_idx
+                        if j != i and self.slots[j].request is not None
+                    ]
+                    if not victims:
+                        log.warning(
+                            "request %d out of KV pages with no victim to "
+                            "preempt; finishing early", slot.request.id,
+                        )
+                        self._finish(i)
+                        break
+                    victim = max(
+                        victims, key=lambda j: self.slots[j].request.submitted_at
+                    )
+                    self._preempt(victim)
+        return [i for i, s in enumerate(self.slots) if s.request is not None]
 
     def step(self) -> int:
         """One scheduler iteration: admit, then one fused decode chunk.
@@ -227,6 +392,10 @@ class BatchEngine:
             self.decode_chunk,
             min(max_seq - self.slots[i].pos for i in active_idx),
         )
+        if self.paged:
+            active_idx = self._grow_tables(active_idx, n)
+            if not active_idx:
+                return 0
         B = self.max_batch
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)
@@ -243,21 +412,39 @@ class BatchEngine:
             top_ps[i] = s.request.sampling.top_p
             top_ks[i] = self._effective_top_k(s.request.sampling.top_k)
         self._key, sub = jax.random.split(self._key)
-        toks, nxt, self.cache, _ = decode_loop(
-            self.engine.params,
-            self.engine.model_cfg,
-            jnp.asarray(tokens),
-            jnp.asarray(positions),
-            self.cache,
-            sub,
-            n,
-            jnp.asarray(temps),
-            self.top_k,
-            jnp.asarray(top_ps),
-            uniform_start=False,
-            active=jnp.asarray(active),
-            top_k_rows=jnp.asarray(top_ks),
-        )
+        if self.paged:
+            tables = np.stack([self._table_row(i) for i in range(B)])
+            toks, nxt, self.cache, _ = paged_decode_loop(
+                self.engine.params,
+                self.engine.model_cfg,
+                jnp.asarray(tokens),
+                jnp.asarray(positions),
+                self.cache,
+                jnp.asarray(tables),
+                sub,
+                n,
+                jnp.asarray(temps),
+                self.top_k,
+                jnp.asarray(top_ps),
+                active=jnp.asarray(active),
+                top_k_rows=jnp.asarray(top_ks),
+            )
+        else:
+            toks, nxt, self.cache, _ = decode_loop(
+                self.engine.params,
+                self.engine.model_cfg,
+                jnp.asarray(tokens),
+                jnp.asarray(positions),
+                self.cache,
+                sub,
+                n,
+                jnp.asarray(temps),
+                self.top_k,
+                jnp.asarray(top_ps),
+                uniform_start=False,
+                active=jnp.asarray(active),
+                top_k_rows=jnp.asarray(top_ks),
+            )
         toks_host = np.asarray(toks)
         nxt_host = np.asarray(nxt)
         for i in active_idx:

@@ -33,6 +33,12 @@ def main() -> int:
     p.add_argument("--quant", default="q8_0", choices=["f16", "q8_0", "q4_k"])
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--stagger-ms", type=float, default=0.0,
+                   help="inter-arrival gap: requests arrive over time while "
+                        "earlier ones decode (exercises chunked-prefill "
+                        "overlap instead of submit-all-at-once)")
+    p.add_argument("--dense", action="store_true",
+                   help="dense per-slot KV instead of the paged pool")
     args = p.parse_args()
 
     from nfai_tpu.utils.jax_setup import enable_persistent_cache
@@ -85,7 +91,10 @@ def main() -> int:
         ),
     )
     print(f"engine load: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    be = BatchEngine(engine, max_batch=args.max_batch, decode_chunk=args.decode_chunk)
+    be = BatchEngine(
+        engine, max_batch=args.max_batch, decode_chunk=args.decode_chunk,
+        paged=not args.dense,
+    )
 
     rng = np.random.default_rng(0)
     sampling = SamplingParams(temperature=0.7, max_new_tokens=args.max_new, seed=1)
@@ -95,17 +104,32 @@ def main() -> int:
         pass
     _ = w
 
-    reqs = [
-        be.submit(
-            [int(x) for x in rng.integers(5, 30000, args.prompt_tokens)], sampling
-        )
+    prompts = [
+        [int(x) for x in rng.integers(5, 30000, args.prompt_tokens)]
         for _ in range(args.requests)
     ]
+    reqs = []
     t0 = time.perf_counter()
-    for r in reqs:  # reset arrival stamps to the benchmark start
-        r.submitted_at = t0
-    while be.step():
-        pass
+    if args.stagger_ms > 0:
+        # staggered arrivals: the scheduler thread decodes while each new
+        # request prefills chunk-by-chunk between decode chunks
+        be.start()
+        for i, prompt in enumerate(prompts):
+            target = t0 + i * args.stagger_ms / 1e3
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            reqs.append(be.submit(prompt, sampling))
+        for r in reqs:
+            for _ in r.stream(timeout=600):
+                pass
+        be.close()
+    else:
+        reqs = [be.submit(prompt, sampling) for prompt in prompts]
+        for r in reqs:  # reset arrival stamps to the benchmark start
+            r.submitted_at = t0
+        while be.step():
+            pass
     wall = time.perf_counter() - t0
 
     ttfts = sorted(r.ttft_s for r in reqs if r.ttft_s is not None)

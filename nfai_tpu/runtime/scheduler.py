@@ -14,6 +14,7 @@ import itertools
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from enum import Enum
 from typing import Iterator, Sequence
@@ -41,6 +42,7 @@ class RequestState(Enum):
     RUNNING = "running"
     FINISHED = "finished"
     FAILED = "failed"
+    CANCELLED = "cancelled"
 
 
 @dataclass
@@ -56,6 +58,17 @@ class Request:
     submitted_at: float = field(default_factory=time.perf_counter)
     first_token_at: float | None = None
     finished_at: float | None = None
+    _cancel: threading.Event = field(default_factory=threading.Event)
+
+    def cancel(self) -> None:
+        """Stop generating for this request (client disconnected / abort).
+        Safe from any thread; the scheduler frees the slot between chunks —
+        the reference had no way to stop a running generation at all."""
+        self._cancel.set()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancel.is_set()
 
     def stream(self, timeout: float | None = None) -> Iterator[int]:
         """Yield generated token ids as they arrive (blocking iterator)."""
@@ -79,6 +92,14 @@ class _Slot:
     budget: int = 0  # max tokens this request may still emit
     next_token: int = 0  # token sampled but not yet fed through the model
     pages: list[int] = field(default_factory=list)  # paged mode: block table
+    # incremental prefill: remaining ids to push through the model; None once
+    # the slot is decoding
+    prefill_ids: np.ndarray | None = None
+    prefill_next: int = 0  # next absolute position to prefill
+
+    @property
+    def prefilling(self) -> bool:
+        return self.prefill_ids is not None
 
 
 class BatchEngine:
@@ -102,12 +123,19 @@ class BatchEngine:
         decode_chunk: int = 8,
         paged: bool | None = None,
         pool_tokens: int | None = None,
+        queue_cap: int = 256,
+        prefill_ticks_per_step: int = 1,
     ):
         self.engine = engine
         self.max_batch = max_batch
         self.decode_chunk = decode_chunk
+        # arrivals prefill one chunk per scheduler step (between decode
+        # chunks) instead of stalling every running slot for whole prompts;
+        # raise for prefill-heavy workloads, 0 is invalid
+        self.prefill_ticks_per_step = max(1, prefill_ticks_per_step)
         self.slots = [_Slot() for _ in range(max_batch)]
-        self.queue: queue.Queue[Request] = queue.Queue()
+        self.queue: queue.Queue[Request] = queue.Queue(maxsize=queue_cap)
+        self._parked: deque[Request] = deque()  # requeued (preempted) heads
         self._ids = itertools.count()
         self._key = jax.random.PRNGKey(0)
         self._thread: threading.Thread | None = None
@@ -160,40 +188,56 @@ class BatchEngine:
                 f"prompt of {len(req.prompt_ids)} tokens exceeds capacity "
                 f"{max_prompt}"
             )
-        self.queue.put(req)
+        try:
+            self.queue.put_nowait(req)
+        except queue.Full:
+            req.state = RequestState.FAILED
+            req.out.put(_END)
+            raise RuntimeError(
+                f"request queue full ({self.queue.maxsize}); retry later"
+            ) from None
         return req
 
     # -- scheduler ---------------------------------------------------------
+    def _next_queued(self) -> Request | None:
+        while True:
+            if self._parked:
+                req = self._parked.popleft()
+            else:
+                try:
+                    req = self.queue.get_nowait()
+                except queue.Empty:
+                    return None
+            if req.cancelled:
+                req.state = RequestState.CANCELLED
+                req.out.put(_END)
+                continue
+            return req
+
     def _admit(self) -> None:
         for i, slot in enumerate(self.slots):
             if slot.request is not None:
                 continue
-            try:
-                req = self.queue.get_nowait()
-            except queue.Empty:
+            req = self._next_queued()
+            if req is None:
                 return
-            if not self._prefill_into(i, req):
-                # pool exhausted: park the request at the queue head and stop
-                # admitting until capacity frees up
+            if not self._begin_prefill(i, req):
+                # pool exhausted: park the request and stop admitting until
+                # capacity frees up
                 self._requeue_front(req)
                 return
 
     def _requeue_front(self, req: Request) -> None:
         req.state = RequestState.QUEUED
-        held = []
-        while True:
-            try:
-                held.append(self.queue.get_nowait())
-            except queue.Empty:
-                break
-        self.queue.put(req)
-        for r in held:
-            self.queue.put(r)
+        self._parked.appendleft(req)
 
-    def _prefill_into(self, slot_idx: int, req: Request) -> bool:
-        """Prefill a request into a slot; returns False when the paged pool
-        cannot hold its prompt (caller requeues). A preempted request's
-        already-emitted tokens are part of the sequence to rebuild."""
+    def _begin_prefill(self, slot_idx: int, req: Request) -> bool:
+        """Assign a request to a slot and reserve its KV pages; the prompt is
+        prefilled incrementally by `_prefill_tick` (one chunk per scheduler
+        step) so running slots never stall for a whole prompt. Returns False
+        when the paged pool cannot hold it (caller requeues). A preempted
+        request's already-emitted tokens are part of the sequence to rebuild.
+        """
         eng = self.engine
         full_ids = list(req.prompt_ids) + list(req.output_ids)
         ids = np.asarray(full_ids, np.int32)
@@ -226,38 +270,52 @@ class BatchEngine:
                     "req %d: prefix cache hit, %d/%d tokens shared",
                     req.id, start, ids.size,
                 )
+        slot.request = req
+        slot.prefill_ids = ids
+        slot.prefill_next = start
+        req.state = RequestState.RUNNING
+        return True
 
-        logits = None
-        pos = start
-        while pos < ids.size:
-            take = min(chunk_cap, ids.size - pos)
-            bucket = min(_next_bucket(take, chunk_cap), eng.max_seq_len - pos)
-            chunk = np.zeros(bucket, np.int32)
-            chunk[:take] = ids[pos : pos + take]
-            positions = np.arange(pos, pos + bucket, dtype=np.int32)
-            if self.paged:
-                logits, self.cache = paged_prefill_step(
-                    eng.params,
-                    eng.model_cfg,
-                    jnp.asarray(chunk[None, :]),
-                    jnp.asarray(positions[None, :]),
-                    jnp.asarray([take - 1], jnp.int32),
-                    self.cache,
-                    jnp.asarray(self._table_row(slot_idx)[None, :]),
-                )
-            else:
-                logits, self.cache = prefill_slot_step(
-                    eng.params,
-                    eng.model_cfg,
-                    jnp.asarray(chunk[None, :]),
-                    jnp.asarray(positions[None, :]),
-                    jnp.asarray([take - 1], jnp.int32),
-                    self.cache,
-                    jnp.int32(slot_idx),
-                )
-            pos += take
+    def _prefill_tick(self, slot_idx: int) -> None:
+        """Run ONE prefill chunk for the slot; on prompt completion, sample
+        the first token and switch the slot to decoding."""
+        eng = self.engine
+        slot = self.slots[slot_idx]
+        req = slot.request
+        ids = slot.prefill_ids
+        chunk_cap = eng.config.prefill_chunk
+        pos = slot.prefill_next
+        take = min(chunk_cap, ids.size - pos)
+        bucket = min(_next_bucket(take, chunk_cap), eng.max_seq_len - pos)
+        chunk = np.zeros(bucket, np.int32)
+        chunk[:take] = ids[pos : pos + take]
+        positions = np.arange(pos, pos + bucket, dtype=np.int32)
         if self.paged:
-            self.alloc.publish_prefix(full_ids, slot.pages)
+            logits, self.cache = paged_prefill_step(
+                eng.params,
+                eng.model_cfg,
+                jnp.asarray(chunk[None, :]),
+                jnp.asarray(positions[None, :]),
+                jnp.asarray([take - 1], jnp.int32),
+                self.cache,
+                jnp.asarray(self._table_row(slot_idx)[None, :]),
+            )
+        else:
+            logits, self.cache = prefill_slot_step(
+                eng.params,
+                eng.model_cfg,
+                jnp.asarray(chunk[None, :]),
+                jnp.asarray(positions[None, :]),
+                jnp.asarray([take - 1], jnp.int32),
+                self.cache,
+                jnp.int32(slot_idx),
+            )
+        slot.prefill_next = pos + take
+        if slot.prefill_next < ids.size:
+            return  # more chunks to go; decode proceeds meanwhile
+        # prompt complete: sample the first token
+        if self.paged:
+            self.alloc.publish_prefix([int(t) for t in ids], slot.pages)
         self._key, sub = jax.random.split(self._key)
         from ..ops.sampling import sample_logits
 
@@ -268,16 +326,14 @@ class BatchEngine:
                 top_k_rows=jnp.asarray([self._effective_top_k(s.top_k)]),
             )[0]
         )
-        slot.request = req
-        slot.pos = ids.size
+        slot.prefill_ids = None
+        slot.pos = int(ids.size)
         slot.budget = min(
             s.max_new_tokens - len(req.output_ids),
             self.engine.max_seq_len - ids.size,
         )
         slot.next_token = tok
-        req.state = RequestState.RUNNING
         self._emit(slot_idx, [tok])
-        return True
 
     def _table_row(self, slot_idx: int) -> np.ndarray:
         row = np.zeros(self.max_pages, np.int32)  # sink-padded
@@ -316,10 +372,12 @@ class BatchEngine:
         if slot.budget <= 0:
             self._finish(slot_idx)
 
-    def _finish(self, slot_idx: int) -> None:
+    def _finish(
+        self, slot_idx: int, state: RequestState = RequestState.FINISHED
+    ) -> None:
         slot = self.slots[slot_idx]
         req = slot.request
-        req.state = RequestState.FINISHED
+        req.state = state
         req.finished_at = time.perf_counter()
         req.out.put(_END)
         if self.paged and slot.pages:
@@ -378,13 +436,29 @@ class BatchEngine:
                     self._preempt(victim)
         return [i for i, s in enumerate(self.slots) if s.request is not None]
 
+    def _sweep_cancelled(self) -> None:
+        for i, slot in enumerate(self.slots):
+            if slot.request is not None and slot.request.cancelled:
+                self._finish(i, RequestState.CANCELLED)
+
     def step(self) -> int:
-        """One scheduler iteration: admit, then one fused decode chunk.
-        Returns the number of active requests after the step."""
+        """One scheduler iteration: admit, advance up to
+        `prefill_ticks_per_step` pending prefills by one chunk each, then one
+        fused decode chunk for the decoding slots. Returns the number of
+        active requests after the step."""
         self._admit()
-        active_idx = [i for i, s in enumerate(self.slots) if s.request is not None]
+        self._sweep_cancelled()
+        prefilling = [i for i, s in enumerate(self.slots) if s.prefilling]
+        for i in prefilling[: self.prefill_ticks_per_step]:
+            self._prefill_tick(i)
+        active_idx = [
+            i
+            for i, s in enumerate(self.slots)
+            if s.request is not None and not s.prefilling
+        ]
+        n_busy = sum(1 for s in self.slots if s.request is not None)
         if not active_idx:
-            return 0
+            return n_busy
         max_seq = self.engine.max_seq_len
         # the chunk length must fit the tightest slot's remaining cache room
         # (KV writes past max_seq would clamp-shift and corrupt the lane)
@@ -394,8 +468,9 @@ class BatchEngine:
         )
         if self.paged:
             active_idx = self._grow_tables(active_idx, n)
+            active_idx = [i for i in active_idx if not self.slots[i].prefilling]
             if not active_idx:
-                return 0
+                return sum(1 for s in self.slots if s.request is not None)
         B = self.max_batch
         tokens = np.zeros(B, np.int32)
         positions = np.zeros(B, np.int32)

@@ -162,9 +162,24 @@ def make_handler(state: ServerState):
         def _generate(self, body: dict, prompt_ids: list[int], chat: bool):
             eng = state.engine
             sampling = _sampling_from_body(body)
-            req = state.batch.submit(prompt_ids, sampling)
+            try:
+                req = state.batch.submit(prompt_ids, sampling)
+            except RuntimeError as e:  # bounded queue: shed load
+                self._error(503, str(e))
+                return
             with state.lock:
                 state.requests_served += 1
+            try:
+                self._respond(body, req, chat)
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away mid-stream: stop generating server-side
+                # (the reference kept computing to EOS with nobody listening)
+                req.cancel()
+                raise
+
+        def _respond(self, body: dict, req, chat: bool):
+            eng = state.engine
+            sampling = req.sampling
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:16]}"
             created = int(time.time())
             obj = "chat.completion" if chat else "text_completion"
@@ -202,6 +217,8 @@ def make_handler(state: ServerState):
                     self._sse(chunk)
                     if stopped:
                         break
+                if stopper.done:
+                    req.cancel()  # stop string hit: free the slot now
                 tail = detok.flush() + stopper.flush() if not stopper.done else ""
                 if tail:
                     delta = {"delta": {"content": tail}} if chat else {"text": tail}
@@ -254,9 +271,9 @@ def make_handler(state: ServerState):
                             {"index": 0, **content, "finish_reason": "stop"}
                         ],
                         "usage": {
-                            "prompt_tokens": len(prompt_ids),
+                            "prompt_tokens": len(req.prompt_ids),
                             "completion_tokens": len(tokens),
-                            "total_tokens": len(prompt_ids) + len(tokens),
+                            "total_tokens": len(req.prompt_ids) + len(tokens),
                         },
                     },
                 )

@@ -192,3 +192,57 @@ def test_preemption_recovers_and_output_is_unchanged(engine):
     assert r2.state == RequestState.FINISHED
     assert r1.output_ids == expected1
     assert r2.output_ids == expected2
+
+
+def test_cancellation_frees_slot_and_pages(engine, paged):
+    rng = np.random.default_rng(10)
+    p = [int(x) for x in rng.integers(5, 200, 8)]
+    be = BatchEngine(engine, max_batch=2, decode_chunk=2, paged=paged)
+    r = be.submit(p, SamplingParams(temperature=0.0, max_new_tokens=500))
+    be.step()
+    assert r.state == RequestState.RUNNING
+    n_before = len(r.output_ids)
+    r.cancel()
+    be.step()
+    assert r.state == RequestState.CANCELLED
+    # stream terminates for a consumer
+    assert list(r.stream(timeout=5))[: n_before] == r.output_ids[: n_before]
+    assert all(s.request is None for s in be.slots)
+    if paged:
+        # all non-reserved pages returned (cached prefix pages are refcount 0)
+        assert (be.alloc.refs[1:] == 0).all() or be.alloc.free_pages > 0
+
+
+def test_cancelled_in_queue_never_runs(engine, paged):
+    rng = np.random.default_rng(11)
+    p = [int(x) for x in rng.integers(5, 200, 8)]
+    be = BatchEngine(engine, max_batch=1, decode_chunk=2, paged=paged)
+    r1 = be.submit(p, SamplingParams(temperature=0.0, max_new_tokens=4))
+    r2 = be.submit(p, SamplingParams(temperature=0.0, max_new_tokens=4))
+    r2.cancel()
+    drive(be, [r1, r2])
+    assert r1.state == RequestState.FINISHED
+    assert r2.state == RequestState.CANCELLED and r2.output_ids == []
+
+
+def test_prefill_overlaps_decode(engine, paged):
+    """A long-prompt arrival must not stall a running slot: while the new
+    request prefills chunk-by-chunk, the running slot keeps decoding."""
+    rng = np.random.default_rng(12)
+    short = [int(x) for x in rng.integers(5, 200, 4)]
+    long_p = [int(x) for x in rng.integers(5, 200, 90)]  # ~3 chunks of 32
+    s = SamplingParams(temperature=0.0, max_new_tokens=40)
+    be = BatchEngine(engine, max_batch=2, decode_chunk=2, paged=paged)
+    r1 = be.submit(short, s)
+    be.step()  # admits r1, first prefill chunk
+    be.step()  # r1 decoding now
+    assert r1.state == RequestState.RUNNING and len(r1.output_ids) >= 1
+    produced = len(r1.output_ids)
+    r2 = be.submit(long_p, SamplingParams(temperature=0.0, max_new_tokens=4))
+    # one step: r2 prefills ONE chunk (not all three), r1 still decodes
+    be.step()
+    assert be.slots[1].prefilling or be.slots[0].prefilling
+    assert len(r1.output_ids) > produced, "running slot stalled during prefill"
+    drive(be, [r1, r2], max_steps=300)
+    assert r1.state == RequestState.FINISHED
+    assert r2.state == RequestState.FINISHED

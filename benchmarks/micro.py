@@ -121,12 +121,14 @@ def qmm_benches():
         wbytes = qs.size + scales.size * 4 + mins.size * 4
         ideal = wbytes / 819e9
 
+        # the carry must FEED the matmul or XLA hoists it out of the scan as
+        # loop-invariant (measured: slope collapses to 0)
         def step(c, qt=qt):
-            x, acc = c
+            x = c
             y = qmatmul(x, qt)
-            return (x, acc + jnp.sum(y.astype(jnp.float32)))
+            return x * (1.0 + 1e-9 * jnp.mean(y).astype(x.dtype))
 
-        t = bench_slope(f"q4 matmul {k}x{n}", step, (x, jnp.float32(0)))
+        t = bench_slope(f"q4 matmul {k}x{n}", step, x, n=128)
         print(f"  ideal {ideal*1e6:.1f} us, eff {ideal/t:.2f}")
         total_ideal += ideal * rep
         total_meas += t * rep
@@ -135,10 +137,11 @@ def qmm_benches():
         w = jax.random.normal(kk[3], (k, n), jnp.bfloat16)
 
         def dstep(c, w=w):
-            x, acc = c
-            return (x, acc + jnp.sum((x @ w).astype(jnp.float32)))
+            x = c
+            y = x @ w
+            return x * (1.0 + 1e-9 * jnp.mean(y).astype(x.dtype))
 
-        td = bench_slope(f"dense bf16 {k}x{n}", dstep, (x, jnp.float32(0)))
+        td = bench_slope(f"dense bf16 {k}x{n}", dstep, x, n=128)
         print(f"  ideal {k*n*2/819e9*1e6:.1f} us, eff {k*n*2/819e9/td:.2f}")
     print(f"[qmm] full-model matmul bytes-time: measured {total_meas*1e3:.3f} ms vs ideal {total_ideal*1e3:.3f} ms")
 

@@ -381,6 +381,12 @@ def load_params(
 # at trace time, after the engine configures it.
 DECODE_ATTN_IMPL = "auto"
 
+# prefill attention: "auto" uses the flash prefill kernel (no materialized
+# [T, S] scores) for chunks >= _FLASH_PREFILL_MIN_T on TPU; "xla" forces the
+# masked dense path; "flash" forces the kernel even on CPU (interpret mode).
+PREFILL_ATTN_IMPL = "auto"
+_FLASH_PREFILL_MIN_T = 128
+
 PAGE_SIZE = 128  # decode kernel S-block granularity constraint
 
 
@@ -399,6 +405,34 @@ def _cached_attention(
     """
     b, t, hq, d = q.shape
     hkv, _, s, _ = k_cache.shape
+    # prefill chunks (contiguous positions per row — the only T>1 callers)
+    # above the threshold take the flash kernel: no [T, S] scores in HBM
+    use_flash_prefill = (
+        t > 1
+        and (t % 256 == 0 or (t <= 256 and t % 64 == 0))
+        and s % 128 == 0
+        and d % 64 == 0
+        and (
+            (
+                PREFILL_ATTN_IMPL == "auto"
+                and jax.default_backend() != "cpu"
+                and t >= _FLASH_PREFILL_MIN_T
+            )
+            or PREFILL_ATTN_IMPL == "flash"
+        )
+    )
+    if use_flash_prefill:
+        from ..ops.prefill_attention import flash_prefill_attention
+
+        return flash_prefill_attention(
+            q,
+            k_cache,
+            v_cache,
+            positions[:, 0],
+            t_block=t if t <= 256 else 256,
+            s_block=128 if s % 512 else 512,
+            interpret=jax.default_backend() == "cpu",
+        ).astype(q.dtype)
     # heuristic: the fused kernel wins on long caches (launch overhead is
     # amortized over S); XLA's fused einsum wins at short S (measured
     # crossover ~2k slots on v5e for 1B shapes)

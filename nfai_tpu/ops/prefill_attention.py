@@ -1,0 +1,166 @@
+"""Flash prefill attention: offset-causal, GQA, length-masked — the prompt
+chunk attends to the KV cache without ever materializing the [T, S] score
+matrix in HBM.
+
+The XLA fallback (ops.attention.causal_prefill_attention via
+models.llama._cached_attention) builds masked scores of shape
+[B, Hkv, R, T, S]; at an 8k context that is hundreds of MB per chunk and
+dominates long-context TTFT. This kernel keeps the online-softmax state in
+VMEM per (T-block, q-group) row and skips whole S-blocks that lie entirely
+in the causal future of the chunk.
+
+Semantics match `_cached_attention`: query at absolute position p attends
+cache slots s <= p. The chunk's queries sit at contiguous positions
+offset..offset+T-1 (per batch row), which is exactly how the engine's
+chunked prefill lays them out; K/V for the chunk must already be written
+into the cache (same contract as the decode path).
+
+Reference framing: replaces the reference's per-token score/softmax/
+weighted-sum shader chain (``AttentionScoreCalculationShader.cs`` etc.) for
+the prefill phase at block granularity instead of token granularity.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_T_BLOCK = 256
+DEFAULT_S_BLOCK = 512
+
+
+def _prefill_kernel(
+    off_ref,  # SMEM [B] int32: absolute position of each row's q[0]
+    q_ref,  # [TB, R, D]
+    k_ref,  # [SB, D]
+    v_ref,  # [SB, D]
+    o_ref,  # [TB, R, D]
+    m_ref,  # VMEM [TB, R, 128] f32
+    l_ref,  # VMEM [TB, R, 128] f32
+    acc_ref,  # VMEM [TB, R, D] f32
+    *,
+    t_block: int,
+    s_block: int,
+    scale: float,
+):
+    b = pl.program_id(0)
+    tb = pl.program_id(2)
+    kk = pl.program_id(3)
+    offset = off_ref[b]
+    t0 = offset + tb * t_block  # absolute position of this block's first q
+
+    @pl.when(kk == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # causal block skip: S-block fully in the future of every q in the block
+    @pl.when(kk * s_block <= t0 + t_block - 1)
+    def _():
+        q = q_ref[...].astype(jnp.float32)  # [TB, R, D]
+        k = k_ref[...].astype(jnp.float32)  # [SB, D]
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [TB, R, SB]
+        span = kk * s_block + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, dimension=2
+        )
+        qpos = t0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=0)
+        scores = jnp.where(span <= qpos, scores, NEG_INF)
+
+        m_prev = m_ref[:, :, :1]  # [TB, R, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)  # [TB, R, SB]
+        l_ref[...] = jnp.broadcast_to(
+            l_ref[:, :, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+            l_ref.shape,
+        )
+        pv = jax.lax.dot_general(
+            p,
+            v_ref[...].astype(jnp.float32),
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [TB, R, D]
+        acc_ref[...] = acc_ref[...] * corr + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(kk == pl.num_programs(3) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:, :, :1], 1e-30)
+        o_ref[...] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_block", "s_block", "interpret")
+)
+def flash_prefill_attention(
+    q: jax.Array,  # [B, T, Hq, D]
+    k_cache: jax.Array,  # [Hkv, B, S, D] — chunk K/V already written
+    v_cache: jax.Array,  # [Hkv, B, S, D]
+    offsets: jax.Array,  # [B] int32 absolute position of q[:, 0]
+    t_block: int = DEFAULT_T_BLOCK,
+    s_block: int = DEFAULT_S_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, T, Hq, D]; query t attends cache slots <= offsets[b]+t."""
+    b, t, hq, d = q.shape
+    hkv, _, s, _ = k_cache.shape
+    r = hq // hkv
+    t_block = min(t_block, t)
+    s_block = min(s_block, s)
+    if t % t_block or s % s_block:
+        raise ValueError(
+            f"T={t} % t_block={t_block} or S={s} % s_block={s_block} != 0"
+        )
+    qg = q.reshape(b, t, hkv, r, d).transpose(0, 2, 1, 3, 4)  # [B,Hkv,T,R,D]
+    scale = 1.0 / (d**0.5)
+
+    grid = (b, hkv, t // t_block, s // s_block)
+    out = pl.pallas_call(
+        functools.partial(
+            _prefill_kernel, t_block=t_block, s_block=s_block, scale=scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, t, r, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (b,), lambda bb, h, tb, kk: (0,), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (None, None, t_block, r, d),
+                    lambda bb, h, tb, kk: (bb, h, tb, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (None, None, s_block, d),
+                    lambda bb, h, tb, kk: (h, bb, kk, 0),
+                ),
+                pl.BlockSpec(
+                    (None, None, s_block, d),
+                    lambda bb, h, tb, kk: (h, bb, kk, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, None, t_block, r, d),
+                lambda bb, h, tb, kk: (bb, h, tb, 0, 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((t_block, r, 128), jnp.float32),
+                pltpu.VMEM((t_block, r, 128), jnp.float32),
+                pltpu.VMEM((t_block, r, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(offsets, qg, k_cache, v_cache)
+    return out.transpose(0, 2, 1, 3, 4).reshape(b, t, hq, d)

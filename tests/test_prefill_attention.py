@@ -1,0 +1,107 @@
+"""Flash prefill kernel vs the masked dense reference (interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nfai_tpu.ops.prefill_attention import flash_prefill_attention
+
+NEG_INF = -1e30
+
+
+def reference(q, k_cache, v_cache, offsets):
+    b, t, hq, d = q.shape
+    hkv, _, s, _ = k_cache.shape
+    r = hq // hkv
+    qg = q.reshape(b, t, hkv, r, d).astype(jnp.float32)
+    logits = jnp.einsum(
+        "bthrd,hbsd->bhrts", qg, k_cache.astype(jnp.float32)
+    ) / (d**0.5)
+    pos = offsets[:, None] + jnp.arange(t)[None, :]  # [B, T]
+    mask = jnp.arange(s)[None, None, :] <= pos[:, :, None]  # [B, T, S]
+    logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhrts,hbsd->bthrd", w, v_cache.astype(jnp.float32))
+    return out.reshape(b, t, hq, d).astype(q.dtype)
+
+
+@pytest.mark.parametrize("offsets", [[0, 0], [128, 64]])
+@pytest.mark.parametrize("tb,sb", [(64, 128), (128, 256)])
+def test_flash_prefill_matches_reference(offsets, tb, sb):
+    b, t, hq, hkv, d, s = 2, 128, 8, 2, 64, 512
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, t, hq, d), jnp.float32)
+    kc = jax.random.normal(k2, (hkv, b, s, d), jnp.float32)
+    vc = jax.random.normal(k3, (hkv, b, s, d), jnp.float32)
+    off = jnp.asarray(offsets, jnp.int32)
+    got = flash_prefill_attention(
+        q, kc, vc, off, t_block=tb, s_block=sb, interpret=True
+    )
+    want = reference(q, kc, vc, off)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-3
+    )
+
+
+def test_flash_prefill_first_chunk_offset_zero():
+    """Row 0 of the scores (q at position 0, only slot 0 visible) is the
+    degenerate softmax edge case."""
+    b, t, hq, hkv, d, s = 1, 64, 4, 4, 64, 128
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, t, hq, d), jnp.float32)
+    kc = jax.random.normal(k2, (hkv, b, s, d), jnp.float32)
+    vc = jax.random.normal(k3, (hkv, b, s, d), jnp.float32)
+    off = jnp.zeros((b,), jnp.int32)
+    got = flash_prefill_attention(q, kc, vc, off, t_block=64, s_block=128,
+                                  interpret=True)
+    want = reference(q, kc, vc, off)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=2e-3)
+    # q0 attends only slot 0: output equals v[slot 0] exactly
+    np.testing.assert_allclose(
+        np.asarray(got[0, 0].reshape(hq, d)),
+        np.asarray(vc[:, 0, 0, :]),
+        atol=1e-5,
+    )
+
+
+def test_model_prefill_flash_matches_xla(tmp_path):
+    """Force the flash prefill path through the full model (interpret mode)
+    and compare logits with the masked dense path."""
+    from nfai_tpu.gguf import GGUFFile
+    from nfai_tpu.models import KVCache
+    from nfai_tpu.models import llama as L
+    from nfai_tpu.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "m.gguf", hidden=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=512, context_length=512,
+    )
+    with GGUFFile.open(path) as g:
+        cfg = L.LlamaConfig.from_gguf(g)
+        params = L.load_params(g, cfg, dtype=jnp.float32)
+    T = 128
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(5, 200, (1, T)), jnp.int32)
+    positions = jnp.arange(T, dtype=jnp.int32)[None]
+    last = jnp.asarray([T - 1], jnp.int32)
+    prev = L.PREFILL_ATTN_IMPL
+    try:
+        L.PREFILL_ATTN_IMPL = "xla"
+        want, _ = L.prefill_step(
+            params, cfg, tokens, positions, last,
+            KVCache.zeros(cfg, 1, 256, jnp.float32),
+        )
+        L.PREFILL_ATTN_IMPL = "flash"
+        got, _ = L.prefill_step(
+            params, cfg, tokens, positions, last,
+            KVCache.zeros(cfg, 1, 256, jnp.float32),
+        )
+    finally:
+        L.PREFILL_ATTN_IMPL = prev
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
+    )

@@ -167,6 +167,7 @@ def load_params(
     device_put: bool = True,
     quantized: bool | str = False,
     fuse: bool = True,
+    tp: int = 1,
 ) -> dict:
     """Load GGUF weights into a layer-stacked params pytree.
 
@@ -183,10 +184,63 @@ def load_params(
     table, which is then stored once in head layout and gathered for lookups.
     With ``device_put=False`` the tree stays in numpy (callers then
     `jax.device_put` onto a sharding pytree).
+
+    ``tp`` > 1 marks quantized weights with their Megatron role
+    (``QTensor.tp_mode``) and packs row-parallel 4-bit containers per
+    K-section so each chip's shard is self-contained — ops.qmatmul then
+    runs the Pallas kernels per-shard under shard_map. Weights whose shape
+    does not shard cleanly stay unmarked (GSPMD dequant fallback).
     """
     from ..ops.qtensor import SUPPORTED_QUANT_TYPES, pack_gguf_tensor
 
     quant_on = bool(quantized)
+
+    # Megatron roles by GGUF tensor name fragment (None -> replicated-ish,
+    # handled by GSPMD): row-parallel weights contract over the sharded axis
+    _TP_ROLES = (
+        ("attn_output", "row"),
+        ("ffn_down", "row"),
+        ("attn_qkv", "col"),
+        ("attn_q", "col"),
+        ("attn_k", "col"),
+        ("attn_v", "col"),
+        ("ffn_gate", "col"),
+        ("ffn_up", "col"),
+        ("output.weight", "col"),
+        ("token_embd", "col"),  # tied LM head in head layout [K, vocab]
+    )
+
+    def tp_role(tensor_name: str) -> str | None:
+        if tp <= 1 or "_exps" in tensor_name or "ffn_gate_inp" in tensor_name:
+            return None
+        for frag, role in _TP_ROLES:
+            if frag in tensor_name:
+                return role
+        return None
+
+    def mark_tp(qt: QTensor, role: str | None) -> QTensor:
+        """Attach the Megatron role when the per-shard view satisfies the
+        kernel layout constraints; otherwise leave unmarked (GSPMD dequant)."""
+        from ..ops.qmatmul import kernel_supported
+
+        if role is None:
+            return qt
+        if role == "col":
+            ok = qt.n % tp == 0 and (qt.n // tp) % 128 == 0 and kernel_supported(
+                qt.replace(qs=None, scales=None, mins=None, n=qt.n // tp)
+            )
+        else:
+            ok = (
+                qt.k % (tp * qt.group) == 0
+                and (qt.kind == "q8" or qt.sections == tp)
+                and kernel_supported(
+                    qt.replace(
+                        qs=None, scales=None, mins=None,
+                        k=qt.k // tp, sections=1,
+                    )
+                )
+            )
+        return qt.replace(tp_mode=role) if ok else qt
 
     def put(name: str, arr):
         if not device_put or arr is None:
@@ -214,10 +268,16 @@ def load_params(
             return mat3(tensor_name)
         if quantizable(tensor_name):
             desc = g.tensors[tensor_name]
-            return pack_gguf_tensor(
+            role = tp_role(tensor_name)
+            n_out, k_in = desc.shape
+            sections = 1
+            if role == "row" and k_in % tp == 0 and (k_in // tp) % 64 == 0:
+                sections = tp  # per-shard split-half packing (4-bit kinds)
+            qt = pack_gguf_tensor(
                 g.tensor_bytes(tensor_name), desc.ggml_type, desc.shape,
-                device_put=False,
+                device_put=False, sections=sections,
             )
+            return mark_tp(qt, role)
         # dense fallback: (out, in) -> (in, out); fused native pass when built
         return g.tensor_f32_transposed(tensor_name).astype(dtype)
 
@@ -244,6 +304,7 @@ def load_params(
                 for it in items
             ):
                 items = unify_qtensors(items)
+            modes = {it.tp_mode for it in items}
             return QTensor(
                 qs=np.stack([it.qs for it in items]),
                 scales=np.stack([it.scales for it in items]),
@@ -256,6 +317,10 @@ def load_params(
                 k=items[0].k,
                 n=items[0].n,
                 group=items[0].group,
+                sections=items[0].sections,
+                # a layer that failed the per-shard layout check forces the
+                # whole stack onto the GSPMD fallback (scan needs one mode)
+                tp_mode=modes.pop() if len(modes) == 1 else None,
             )
         return np.stack(items)
 
@@ -301,10 +366,9 @@ def load_params(
 
         def permute_cols(w, perm):
             if isinstance(w, QTensor):
-                return QTensor(
+                return w.replace(
                     qs=w.qs[:, perm], scales=w.scales[:, perm],
                     mins=None if w.mins is None else w.mins[:, perm],
-                    kind=w.kind, k=w.k, n=w.n, group=w.group,
                 )
             return np.ascontiguousarray(w[:, perm])
 

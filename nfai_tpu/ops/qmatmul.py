@@ -31,9 +31,18 @@ from jax.experimental.pallas import tpu as pltpu
 from .qtensor import QBLOCK, QTensor, dequant_qtensor
 
 
-# Engine sets this False under a device mesh: GSPMD shards the XLA dequant
-# fallback transparently, while pallas_call would need shard_map plumbing.
+# Escape hatch: force the XLA dense-dequant fallback everywhere (tests,
+# debugging). The production path keeps this True — under a device mesh the
+# kernels run per-shard through shard_map (see `TP_MESH` below).
 KERNEL_ENABLED = True
+
+# The engine sets this to the active jax Mesh when tensor parallelism is on.
+# QTensor leaves carry their Megatron role in `tp_mode` ("col" | "row");
+# qmatmul wraps the Pallas kernel in shard_map so each chip runs the fused
+# dequant-matmul on its own weight shard — quantized bytes stream from local
+# HBM, no dense dequant materialization (BASELINE config 5; the round-1
+# fallback re-expanded weights to bf16 per matmul under a mesh).
+TP_MESH = None
 
 
 def _interpret() -> bool:
@@ -175,12 +184,16 @@ def _q4_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     byte = qs_ref[...]  # [TKB, TN] int8 container of packed nibbles
-    # Mosaic cannot lower int8 shifts / uint8->float casts; widen to int32
-    # for the high-nibble shift and mask away the sign extension
-    lo = (byte & 0x0F).astype(jnp.bfloat16)
-    hi = ((byte.astype(jnp.int32) >> 4) & 0x0F).astype(jnp.bfloat16)
-    w_lo = _scaled_deq(lo, sc_lo_ref[...], QBLOCK)
-    w_hi = _scaled_deq(hi, sc_hi_ref[...], QBLOCK)
+    # v2 container decode (see ops.qtensor): the high nibble is biased-signed
+    # ((q-8) & 0xF) so `byte & 0xF0` IS 16*(q_hi-8) in two's complement, and
+    # the low nibble falls out of a bf16 subtract. Pure AND + casts + SUB —
+    # Mosaic cannot lower int8 shifts/sub/mul or uint8->float casts, and the
+    # old int32 widen+shift chain made the kernel VPU-bound (104 us vs 31 us
+    # HBM ideal on 2048x16384 @ v5e).
+    hi16f = (byte & jnp.int8(-16)).astype(jnp.bfloat16)  # 16*(q_hi - 8)
+    lof = byte.astype(jnp.bfloat16) - hi16f  # q_lo (0..15), exact
+    w_lo = _scaled_deq(lof, sc_lo_ref[...], QBLOCK)
+    w_hi = _scaled_deq(hi16f, sc_hi_ref[...], QBLOCK)  # scales hold the /16
     acc_ref[...] += jax.lax.dot(
         x_lo_ref[...].astype(jnp.bfloat16),
         w_lo,
@@ -282,7 +295,10 @@ def mins_correction(x: jax.Array, mins: jax.Array, group: int = QBLOCK) -> jax.A
 def kernel_supported(qt: QTensor) -> bool:
     """Mosaic tiling constraint: the scales block's sublane count must be a
     multiple of 8 (or span the whole scale array). Small-K weights (tiny test
-    models) fall back to the XLA dequant path."""
+    models) and multi-section containers (row-parallel TP shards — the
+    per-shard view is single-section) fall back to the XLA dequant path."""
+    if qt.sections != 1:
+        return False
     if qt.kind == "q8":
         tk, _ = _pick_tiles(0, qt.k, qt.n)
         rows = tk // qt.group
@@ -291,17 +307,10 @@ def kernel_supported(qt: QTensor) -> bool:
     return (tkb // QBLOCK) % 8 == 0
 
 
-def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
-    """x [..., K] @ quantized W [K, N] → [..., N] (bf16).
-
-    `use_kernel=False` uses the XLA fallback (dense dequant then matmul) —
-    the correctness reference; the Pallas path is the production one.
-    """
-    lead = x.shape[:-1]
-    xb = x.reshape(-1, qt.k)
+def _qmatmul_local(xb: jax.Array, qt: QTensor, use_kernel: bool) -> jax.Array:
+    """Single-shard fused dequant-matmul: xb [B, K] @ qt -> [B, N] bf16."""
     if not use_kernel or not KERNEL_ENABLED or not kernel_supported(qt):
-        out = (xb @ dequant_qtensor(qt)).astype(jnp.bfloat16)
-        return out.reshape(*lead, qt.n)
+        return (xb @ dequant_qtensor(qt)).astype(jnp.bfloat16)
     # NOTE: in-kernel mins (pass qt.mins into the matmuls) was measured
     # SLOWER than this external rank-1 correction at 1B/b8 on v5e (the
     # selector-matrix block-sum dot costs more per tile than XLA's fused
@@ -314,6 +323,87 @@ def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
         y = (
             y.astype(jnp.float32) - mins_correction(xb, qt.mins, qt.group)
         ).astype(y.dtype)
+    return y
+
+
+def _qmatmul_tp(xb: jax.Array, qt: QTensor, use_kernel: bool) -> jax.Array:
+    """Tensor-parallel fused dequant-matmul through shard_map.
+
+    Column-parallel (wq/wk/wv/gate/up/lm_head): weights shard along N; x is
+    replicated across tp; each chip's kernel emits its N-slice — no
+    collective (GSPMD reassembles the logical [B, N] array).
+    Row-parallel (wo/w_down): x shards along K, weights along K (4-bit
+    containers are packed per-section so each chip's byte rows decode a
+    contiguous local k-range — see ops.qtensor `sections`); per-chip partial
+    products (including the local mins correction) psum over tp.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DP_AXIS, TP_AXIS
+
+    mesh = TP_MESH
+    tp = mesh.shape[TP_AXIS]
+    dp = mesh.shape[DP_AXIS]
+    # batch rows shard over dp only when they divide it (prefill_slot_step
+    # runs batch-1 chunks; single-request generate may have B=1)
+    bax = DP_AXIS if (dp > 1 and xb.shape[0] % dp == 0) else None
+    wq_axis = 0 if qt.tp_mode == "row" else 1  # qs/scales/mins shard axis
+    wspec = P(TP_AXIS, None) if qt.tp_mode == "row" else P(None, TP_AXIS)
+    local = qt.replace(
+        qs=None, scales=None, mins=None,
+        k=qt.k // tp if qt.tp_mode == "row" else qt.k,
+        n=qt.n if qt.tp_mode == "row" else qt.n // tp,
+        sections=1 if qt.tp_mode == "row" else qt.sections,
+        tp_mode=None,
+    )
+
+    if qt.tp_mode == "row":
+        in_specs = (P(bax, TP_AXIS), wspec, wspec, wspec)
+        out_spec = P(bax, None)
+
+        def f(xl, qs, sc, mins):
+            y = _qmatmul_local(
+                xl, local.replace(qs=qs, scales=sc, mins=mins), use_kernel
+            )
+            return jax.lax.psum(y.astype(jnp.float32), TP_AXIS).astype(y.dtype)
+
+    else:
+        in_specs = (P(bax, None), wspec, wspec, wspec)
+        out_spec = P(bax, TP_AXIS)
+
+        def f(xl, qs, sc, mins):
+            return _qmatmul_local(
+                xl, local.replace(qs=qs, scales=sc, mins=mins), use_kernel
+            )
+
+    if qt.mins is None:
+        in_specs = in_specs[:-1]
+        g = lambda xl, qs, sc: f(xl, qs, sc, None)
+        args = (xb, qt.qs, qt.scales)
+    else:
+        g = f
+        args = (xb, qt.qs, qt.scales, qt.mins)
+    return shard_map(
+        g, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+        check_vma=False,
+    )(*args)
+
+
+def qmatmul(x: jax.Array, qt: QTensor, use_kernel: bool = True) -> jax.Array:
+    """x [..., K] @ quantized W [K, N] → [..., N] (bf16).
+
+    `use_kernel=False` uses the XLA fallback (dense dequant then matmul) —
+    the correctness reference; the Pallas path is the production one. With
+    an active `TP_MESH` and a tp-marked weight, the kernel runs per-shard
+    under shard_map (quantized tensor parallelism).
+    """
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, qt.k)
+    if TP_MESH is not None and qt.tp_mode in ("col", "row"):
+        y = _qmatmul_tp(xb, qt, use_kernel)
+    else:
+        y = _qmatmul_local(xb, qt, use_kernel)
     return y.reshape(*lead, qt.n)
 
 

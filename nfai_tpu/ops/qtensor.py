@@ -8,9 +8,17 @@ fuse dequantization into the contraction:
   along K (ggml's contiguous ne[0] axis), so after transpose the per-32-block
   scale for element (k, n) is ``scales[k // 32, n]``;
 - 8-bit kinds: ``qs`` int8 [K, N];
-- 4-bit kinds: ``qs`` uint8 [K/2, N] with **split-half packing** — byte (i, n)
+- 4-bit kinds: ``qs`` int8 [K/2, N] with **split-half packing** — byte (i, n)
   holds k=i in its low nibble and k=i+K/2 in its high nibble, so a kernel
-  k-tile unpacks two *contiguous* k-ranges (no sublane interleave on TPU);
+  k-tile unpacks two *contiguous* k-ranges (no sublane interleave on TPU).
+  The high nibble stores the *biased-signed* value ``(q - 8) & 0xF`` and its
+  scale rows are pre-divided by 16, so the in-kernel decode is pure int8/bf16
+  arithmetic (Mosaic cannot lower int8 shifts/sub/mul, only AND):
+      hi16f = (byte & 0xF0).astype(bf16)   # exactly 16*(q_hi - 8)
+      lof   = byte.astype(bf16) - hi16f    # exactly q_lo (0..15)
+      w     = hi16f * (s/16),  lof * s
+  The -8 bias is absorbed into the high-half effective mins (m' = m - 8s),
+  which the external rank-1 correction already applies;
 - affine kinds (Q4_K's ``d*sc*q - dmin*m``, Q4_0's ``d*(q-8)``) are expressed
   as ``value = scales*q - mins`` with precomputed effective per-block
   scales/mins; the mins term is folded out of the kernel entirely via
@@ -45,7 +53,7 @@ MIN_DTYPE = np.float32
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qs", "scales", "mins"],
-    meta_fields=["kind", "k", "n", "group"],
+    meta_fields=["kind", "k", "n", "group", "sections", "tp_mode"],
 )
 @dataclasses.dataclass
 class QTensor:
@@ -53,6 +61,17 @@ class QTensor:
 
     `group` is the per-scale block length along K (32 for the 32-block
     formats and Q4_K/Q5_K super-block sub-blocks; 16 for Q2_K/Q3_K/Q6_K).
+
+    `sections` (4-bit kinds only): the K axis is divided into `sections`
+    contiguous chunks, each split-half packed independently. Row-parallel
+    tensor-parallel weights are packed with sections = tp so that each
+    chip's contiguous byte-row shard decodes a self-contained, contiguous
+    k-range (see parallel/sharding.py).
+
+    `tp_mode` ("col" | "row" | None) marks how this weight shards under
+    tensor parallelism; ops.qmatmul uses it to route through shard_map so
+    the Pallas kernels run per-shard instead of falling back to the XLA
+    dequant path.
     """
 
     qs: jax.Array  # int8: [K, N] (8-bit container) or packed [K//2, N] (4-bit)
@@ -62,6 +81,11 @@ class QTensor:
     k: int
     n: int
     group: int = QBLOCK
+    sections: int = 1
+    tp_mode: str | None = None
+
+    def replace(self, **kw) -> "QTensor":
+        return dataclasses.replace(self, **kw)
 
     @property
     def shape(self):  # (in, out) like a dense (K, N) weight
@@ -230,10 +254,12 @@ def pack_gguf_tensor(
     ggml_type: GGMLType,
     shape_out_in: tuple[int, int],
     device_put: bool = True,
+    sections: int = 1,
 ) -> QTensor:
     """Repack a GGUF matmul weight (numpy shape (N_out, K_in)) for the TPU
     kernels. Raises KeyError for unsupported kinds (caller falls back to
-    dense dequantized weights)."""
+    dense dequantized weights). `sections` > 1 packs 4-bit kinds per
+    contiguous K-chunk (row-parallel TP shards; no-op for 8-bit kinds)."""
     n_out, k_in = shape_out_in
     kind, group, decode = _INT_DECODERS[ggml_type]
     q, scales, mins = decode(np.ascontiguousarray(raw).view(np.uint8), n_out, k_in)
@@ -246,13 +272,36 @@ def pack_gguf_tensor(
     )
     if kind == "q8":
         qs_t = np.ascontiguousarray(q.T, dtype=np.int8)  # [K, N]
+        sections = 1
     else:
-        if k_in % 64:
-            raise ValueError(f"4-bit packing requires K % 64 == 0, got {k_in}")
+        ks = k_in // sections  # section length along K
+        if ks % 64 or k_in % sections:
+            raise ValueError(
+                f"4-bit packing requires K/sections % 64 == 0, got "
+                f"K={k_in} sections={sections}"
+            )
         qt = q.T.astype(np.uint8)  # [K, N], values 0..15
-        half = k_in // 2
-        # int8 container (same bits): Mosaic lacks uint8->float casts
-        qs_t = np.ascontiguousarray(qt[:half] | (qt[half:] << 4)).view(np.int8)
+        # per-section split-half packing: byte (i, n) of section c holds
+        # k = c*ks + i (low nibble) and k = c*ks + ks/2 + i (high nibble).
+        # High nibble biased-signed ((q-8) & 0xF): the kernel decodes with
+        # AND + bf16 SUB only (see module docstring).
+        qsec = qt.reshape(sections, ks, n_out)
+        lo = qsec[:, : ks // 2]
+        hi_biased = (qsec[:, ks // 2 :] - 8) & 0x0F
+        qs_t = np.ascontiguousarray(
+            (lo | (hi_biased << 4)).reshape(k_in // 2, n_out)
+        ).view(np.int8)
+        # fold /16 into the high-half scales; absorb the -8 bias into mins
+        if mins_t is None:
+            mins_t = np.zeros_like(scales_t)
+        gsec = ks // group  # scale rows per section
+        sc_sec = scales_t.reshape(sections, gsec, n_out)
+        mn_sec = mins_t.reshape(sections, gsec, n_out)
+        mn_sec[:, gsec // 2 :] -= 8.0 * sc_sec[:, gsec // 2 :]
+        sc_sec = sc_sec.copy()
+        sc_sec[:, gsec // 2 :] /= 16.0
+        scales_t = sc_sec.reshape(k_in // group, n_out)
+        mins_t = mn_sec.reshape(k_in // group, n_out)
 
     def put(a):
         return jnp.asarray(a) if (device_put and a is not None) else a
@@ -265,6 +314,7 @@ def pack_gguf_tensor(
         k=k_in,
         n=n_out,
         group=group,
+        sections=sections,
     )
 
 
@@ -275,8 +325,9 @@ def promote_qtensor(
     tensors of mixed GGUF kinds can be stacked (Q4_K_M files mix Q6_K and
     Q4_K for ffn_down/attn_v via llama.cpp's use_more_bits).
 
-    - "q4" → "q8": unpack split-half nibbles to int8 [K, N] (same values,
-      same scales/mins — bit-exact, 2x the qs bytes);
+    - "q4" → "q8": unpack split-half nibbles to int8 [K, N] (bit-exact, 2x
+      the qs bytes). The high half's biased-signed nibbles become signed int8
+      values with the /16 scale fold undone (scales multiplied back by 16);
     - group g → finer group g' (g % g' == 0): repeat each scale/min row;
     - symmetric → affine: add zero mins (value = s*q - 0).
     """
@@ -286,8 +337,24 @@ def promote_qtensor(
         raise ValueError(f"cannot regroup {qt.group} -> {group}")
     qs, scales, mins = qt.qs, qt.scales, qt.mins
     if qt.kind == "q4" and kind == "q8":
-        u = np.asarray(qs).view(np.uint8)
-        qs = np.concatenate([u & 0x0F, u >> 4], axis=-2).astype(np.int8)
+        s8 = np.asarray(qs).view(np.int8)
+        lo = (s8 & 0x0F).astype(np.int8)  # q_lo (0..15)
+        hi = (s8 >> 4).astype(np.int8)  # q_hi - 8 (arithmetic shift)
+        sec, n = qt.sections, s8.shape[-1]
+        lead = s8.shape[:-2]  # optional stacked-layer axis
+        ks2 = qt.k // (2 * sec)
+        qs = np.concatenate(
+            [
+                lo.reshape(*lead, sec, ks2, n),
+                hi.reshape(*lead, sec, ks2, n),
+            ],
+            axis=-2,
+        ).reshape(*lead, qt.k, n)
+        scales = np.asarray(scales).copy()
+        gsec = scales.shape[-2] // sec
+        sc = scales.reshape(*lead, sec, gsec, n)
+        sc[..., gsec // 2 :, :] *= 16.0  # undo the 4-bit fold
+        scales = sc.reshape(*lead, qt.k // qt.group, n)
     rep = qt.group // group
     if rep > 1:
         scales = np.repeat(np.asarray(scales), rep, axis=-2)
@@ -295,7 +362,8 @@ def promote_qtensor(
     if with_mins and mins is None:
         mins = np.zeros_like(np.asarray(scales))
     return QTensor(
-        qs=qs, scales=scales, mins=mins, kind=kind, k=qt.k, n=qt.n, group=group
+        qs=qs, scales=scales, mins=mins, kind=kind, k=qt.k, n=qt.n,
+        group=group, tp_mode=qt.tp_mode,
     )
 
 
@@ -321,7 +389,10 @@ def concat_qtensors(items: list["QTensor"]) -> "QTensor":
     projections into one kernel launch. Kinds/groups/K must match."""
     first = items[0]
     if not all(
-        it.kind == first.kind and it.group == first.group and it.k == first.k
+        it.kind == first.kind
+        and it.group == first.group
+        and it.k == first.k
+        and it.sections == first.sections
         for it in items
     ):
         raise ValueError("incompatible QTensors for fusion")
@@ -338,6 +409,8 @@ def concat_qtensors(items: list["QTensor"]) -> "QTensor":
         k=first.k,
         n=sum(it.n for it in items),
         group=first.group,
+        sections=first.sections,
+        tp_mode=first.tp_mode,
     )
 
 
@@ -352,10 +425,19 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     if qt.kind == "q8":
         w = qt.qs.astype(jnp.float32) * scales
     else:
-        lo = (qt.qs & 0x0F).astype(jnp.float32)
-        hi = ((qt.qs >> 4) & 0x0F).astype(jnp.float32)  # mask: arithmetic shift
-        q = jnp.concatenate([lo, hi], axis=0)  # [K, N] (split-half order)
-        w = q * scales
+        lo = (qt.qs & 0x0F).astype(jnp.float32)  # q_lo (0..15)
+        hi16 = qt.qs.astype(jnp.float32) - lo  # 16*(q_hi - 8), exact
+        s, n = qt.sections, qt.qs.shape[-1]
+        ks2 = qt.k // (2 * s)  # half-section length
+        # per-section split-half order: [lo_c | hi_c] for each K-chunk c
+        q = jnp.concatenate(
+            [
+                lo.reshape(s, ks2, n),
+                hi16.reshape(s, ks2, n),
+            ],
+            axis=1,
+        ).reshape(qt.k, n)
+        w = q * scales  # high-half scales are pre-divided by 16
     if qt.mins is not None:
         w = w - jnp.repeat(qt.mins, qt.group, axis=0)
     return w.astype(dtype)
@@ -366,6 +448,8 @@ def dequant_gather(qt: QTensor, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax
     of the [K, N] tensor. token_ids [...] → [..., K]. Used when the embedding
     table is stored quantized in LM-head layout (tied weights,
     reference: LlamaModel.cs:64-67)."""
+    if qt.sections != 1:
+        raise ValueError("dequant_gather expects an unsectioned table")
     cols_q = jnp.take(qt.qs, token_ids, axis=1)  # [K(/2), ...]
     cols_q = jnp.moveaxis(cols_q, 0, -1)  # [..., K(/2)]
     scales = jnp.moveaxis(jnp.take(qt.scales, token_ids, axis=1), 0, -1)
@@ -374,8 +458,8 @@ def dequant_gather(qt: QTensor, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax
         w = cols_q.astype(jnp.float32) * scales
     else:
         lo = (cols_q & 0x0F).astype(jnp.float32)
-        hi = ((cols_q >> 4) & 0x0F).astype(jnp.float32)
-        w = jnp.concatenate([lo, hi], axis=-1) * scales
+        hi16 = cols_q.astype(jnp.float32) - lo  # 16*(q_hi - 8)
+        w = jnp.concatenate([lo, hi16], axis=-1) * scales
     if qt.mins is not None:
         mins = jnp.moveaxis(jnp.take(qt.mins, token_ids, axis=1), 0, -1)
         w = w - jnp.repeat(mins, qt.group, axis=-1)

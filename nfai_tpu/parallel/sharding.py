@@ -45,11 +45,13 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
     (in, out): column-parallel shards the last axis, row-parallel the middle.
     When `params` is given, quantized leaves (QTensor) get structure-matched
     shardings: qs/scales/mins all shard along their last (N) axis for
-    column-parallel weights, along the K axis for row-parallel ones (the
-    4-bit split-half byte rows shard consistently — GSPMD semantics are
-    layout-independent). Quantized + mesh runs the XLA dequant path
-    (ops.qmatmul.KERNEL_ENABLED); Pallas kernels under shard_map are a
-    future optimization.
+    column-parallel weights, along the K axis for row-parallel ones.
+    Row-parallel 4-bit containers are packed per-K-section at load time
+    (QTensor.sections == tp) so each chip's contiguous byte-row shard
+    decodes a self-contained k-range; ops.qmatmul then runs the Pallas
+    fused dequant-matmul per-shard under shard_map (QTensor.tp_mode).
+    Weights that fail the per-shard kernel layout checks stay unmarked and
+    run the GSPMD-sharded XLA dequant fallback.
     """
     from ..ops.qtensor import QTensor
 
@@ -73,14 +75,10 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
                 return dense
             leaf = leaf[part]
         if isinstance(leaf, QTensor):
-            return QTensor(
+            return leaf.replace(
                 qs=dense,
                 scales=dense,
                 mins=dense if leaf.mins is not None else None,
-                kind=leaf.kind,
-                k=leaf.k,
-                n=leaf.n,
-                group=leaf.group,
             )
         return dense
 

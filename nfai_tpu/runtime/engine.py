@@ -94,20 +94,22 @@ class InferenceEngine:
             )
 
             self.mesh = make_mesh(self.config.mesh_shape)
-            validate_tp(self.model_cfg, self.mesh.shape[TP_AXIS])
+            tp = self.mesh.shape[TP_AXIS]
+            validate_tp(self.model_cfg, tp)
             quantized = "auto" if self.config.param_dtype == "auto" else False
             params_np = self.family.load_params(
                 g, self.model_cfg, dtype=dtype, device_put=False, fuse=False,
-                quantized=quantized,
+                quantized=quantized, tp=tp,
             )
             self.params = jax.device_put(
                 params_np, llama_param_shardings(self.mesh, params_np)
             )
-            # quantized matmuls under a mesh run the XLA dequant path (GSPMD
-            # shards it); the Pallas kernels need shard_map plumbing
+            # quantized matmuls run the Pallas kernels per-shard through
+            # shard_map (ops.qmatmul.TP_MESH + QTensor.tp_mode); weights that
+            # failed the per-shard layout check stay on the GSPMD dequant path
             from ..ops import qmatmul as _qm
 
-            _qm.KERNEL_ENABLED = False
+            _qm.TP_MESH = self.mesh
         else:
             # param_dtype="auto" keeps supported GGUF quantizations in HBM
             # (fused dequant-matmul kernels); anything else dequantizes

@@ -193,3 +193,58 @@ def test_sharded_moe_layout(tmp_path):
     assert got == expected
     plain.gguf.close()
     sharded.gguf.close()
+
+
+def test_quantized_tp_kernel_path(tmp_path):
+    """Quantized TP through the Pallas kernels (VERDICT round-1 #3): with
+    kernel-eligible shapes the engine marks QTensor.tp_mode, qmatmul routes
+    through shard_map, and generation matches the single-device kernel path
+    exactly. The q4 kernel itself must trace (counter), not the fallback."""
+    from nfai_tpu.gguf import GGMLType
+    from nfai_tpu.ops import qmatmul
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "tpq.gguf",
+        vocab_size=256,
+        hidden=512,
+        n_layers=2,
+        n_heads=8,
+        n_kv_heads=4,
+        ffn_dim=1024,
+        context_length=256,
+        quant=GGMLType.Q4_K,
+        seed=17,
+    )
+    base_cfg = dict(max_seq_len=96, dtype="bfloat16", prefill_chunk=32)
+    plain = InferenceEngine(path, EngineConfig(**base_cfg))
+
+    calls = {"q4": 0}
+    orig_q4 = qmatmul._q4_matmul
+
+    def counting_q4(*a, **kw):
+        calls["q4"] += 1
+        return orig_q4(*a, **kw)
+
+    qmatmul._q4_matmul = counting_q4
+    try:
+        sharded = InferenceEngine(
+            path, EngineConfig(**base_cfg, mesh_shape={"dp": 4, "tp": 2})
+        )
+        layers = sharded.params["layers"]
+        assert layers["wq"].tp_mode == "col"
+        assert layers["w_down"].tp_mode == "row"
+        assert layers["w_down"].sections == 2  # per-shard split-half packing
+        assert qmatmul.TP_MESH is sharded.mesh
+
+        ids = [int(x) for x in np.random.default_rng(9).integers(5, 200, 40)]
+        s = SamplingParams(temperature=0.0, max_new_tokens=6)
+        calls["q4"] = 0
+        with jax.sharding.set_mesh(sharded.mesh):
+            got = list(sharded.generate(ids, s))
+        assert calls["q4"] > 0, "Pallas q4 kernel never traced under the mesh"
+        expected = list(plain.generate(ids, s))
+        assert got == expected
+    finally:
+        qmatmul._q4_matmul = orig_q4
+        qmatmul.TP_MESH = None
+        plain.gguf.close()

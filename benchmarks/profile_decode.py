@@ -1,0 +1,175 @@
+"""Capture a jax profiler trace of the 1B q4 decode step and print a
+per-op time breakdown (parsed from the XLA xplane protobuf via tensorflow).
+
+Usage: python benchmarks/profile_decode.py [--size 1b] [--quant q4]
+Writes the raw trace under /tmp/nfai_trace for tensorboard, and prints the
+top ops by total self-time within one decode chunk.
+"""
+import argparse
+import collections
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nfai_tpu.utils.jax_setup import enable_persistent_cache
+
+enable_persistent_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_state(size, quant, batch, seq, prompt):
+    """Same synthetic-model construction as bench.py."""
+    import bench as benchmod
+
+    from nfai_tpu.models import KVCache
+    from nfai_tpu.models.llama import LlamaConfig
+    from nfai_tpu.ops.qtensor import QTensor
+    from nfai_tpu.ops.rope import compute_inv_freq
+
+    hidden, layers, heads, kv_heads, ffn, vocab = benchmod.SIZES[size]
+    head_dim = hidden // heads
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden, n_layers=layers, n_heads=heads,
+        n_kv_heads=kv_heads, head_dim=head_dim, ffn_dim=ffn,
+        rope_base=500000.0, context_length=max(seq, 2048),
+    )
+    dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    kiter = iter(jax.random.split(key, 64))
+
+    def rand(*shape):
+        return (jax.random.normal(next(kiter), shape, jnp.float32) * 0.02).astype(dtype)
+
+    def weight(*shape):
+        if quant == "none":
+            return rand(*shape)
+        lead, k, n = shape[:-2], shape[-2], shape[-1]
+        scales = (
+            jax.random.uniform(next(kiter), (*lead, k // 32, n), jnp.float32) * 0.004
+        )
+        if quant == "q8_0":
+            qs = jax.random.randint(next(kiter), (*lead, k, n), -127, 128, jnp.int8)
+            return QTensor(qs, scales, None, "q8", k, n)
+        qs = jax.random.randint(
+            next(kiter), (*lead, k // 2, n), -128, 128, jnp.int32
+        ).astype(jnp.int8)
+        mins = scales * 8.0
+        return QTensor(qs, scales, mins, "q4", k, n)
+
+    qd, kvd = heads * head_dim, kv_heads * head_dim
+    params = {
+        "embed": rand(vocab, hidden),
+        "layers": {
+            "attn_norm": jnp.ones((layers, hidden), jnp.float32),
+            "wqkv": weight(layers, hidden, qd + 2 * kvd),
+            "wo": weight(layers, qd, hidden),
+            "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
+            "w_gate_up": weight(layers, hidden, 2 * ffn),
+            "w_down": weight(layers, ffn, hidden),
+        },
+        "final_norm": jnp.ones(hidden, jnp.float32),
+        "lm_head": weight(hidden, vocab),
+        "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
+    }
+    cache = KVCache.zeros(cfg, batch, seq, dtype)
+    return cfg, params, cache, vocab
+
+
+def parse_xplane(logdir):
+    """Sum per-op self times from the device xplane."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        return None
+    path = max(paths, key=os.path.getmtime)
+    xspace = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xspace.ParseFromString(f.read())
+    tallies = collections.Counter()
+    counts = collections.Counter()
+    for plane in xspace.planes:
+        name = plane.name.lower()
+        if "tpu" not in name and "device" not in name and "axon" not in name:
+            continue
+        ev_names = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            lname = line.name.lower()
+            # xla op lines hold per-op events; skip host threads
+            if "step" in lname or "host" in lname:
+                continue
+            for ev in line.events:
+                nm = ev_names.get(ev.metadata_id, "?")
+                dur_us = ev.duration_ps / 1e6
+                tallies[nm] += dur_us
+                counts[nm] += 1
+    return tallies, counts, path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="1b")
+    ap.add_argument("--quant", default="q4")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=64)
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    from nfai_tpu.models.llama import decode_loop
+
+    cfg, params, cache, vocab = build_state(args.size, args.quant, args.batch, args.seq, 128)
+    B = args.batch
+    first = jnp.zeros((B,), jnp.int32)
+    start = jnp.full((B,), 128, jnp.int32)
+    rng = jax.random.PRNGKey(1)
+
+    def chunk(cache, first, start, rng):
+        toks, nxt, cache, rng = decode_loop(
+            params, cfg, first, start, cache, rng, args.chunk, temperature=0.7
+        )
+        return toks, nxt, cache, rng
+
+    def sync(x):
+        return np.asarray(jnp.sum(x.astype(jnp.float32)))
+
+    print("warmup/compile...", flush=True)
+    toks, first, cache, rng = chunk(cache, first, start, rng)
+    sync(toks)
+    start = start + args.chunk
+    import time
+
+    t0 = time.perf_counter()
+    toks, first, cache, rng = chunk(cache, first, start, rng)
+    sync(toks)
+    per_step = (time.perf_counter() - t0) / args.chunk
+    print(f"warm chunk: {per_step*1e3:.2f} ms/step", flush=True)
+    start = start + args.chunk
+
+    logdir = "/tmp/nfai_trace"
+    os.makedirs(logdir, exist_ok=True)
+    print("tracing one chunk...", flush=True)
+    with jax.profiler.trace(logdir):
+        toks, first, cache, rng = chunk(cache, first, start, rng)
+        sync(toks)
+
+    parsed = parse_xplane(logdir)
+    if parsed is None:
+        print("no xplane captured (axon profiler unsupported?)")
+        return
+    tallies, counts, path = parsed
+    total = sum(tallies.values())
+    print(f"trace: {path}")
+    print(f"device total: {total/1e3:.2f} ms over {args.chunk} steps "
+          f"({total/args.chunk:.1f} us/step)")
+    print(f"{'us/step':>9}  {'count':>6}  op")
+    for nm, us in tallies.most_common(args.top):
+        print(f"{us/args.chunk:9.1f}  {counts[nm]:6d}  {nm[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -277,6 +277,302 @@ def _q4_matmul(x, qs, scales, mins=None, out_dtype=jnp.bfloat16):
 
 
 # ---------------------------------------------------------------------------
+# layer-stacked kernels (scalar-prefetch layer index)
+#
+# The decode forward scans over layers; slicing each layer's quantized weight
+# out of the stacked [L, ...] arrays at the XLA level copies ~45 MB/step
+# (measured ~0.9 ms/step on the 1B q4 v5e profile). These variants instead
+# take the FULL stacked arrays and a traced layer index: the BlockSpec index
+# maps add the layer coordinate, so the kernel DMAs tiles straight from the
+# stacked HBM buffer and nothing is materialized per layer. The per-block
+# affine `mins` term is folded in as an extra [B, kb] x [kb, TN] MXU dot
+# against activation block-sums precomputed outside (XLA fuses that reduce
+# into the producer), again avoiding any XLA-level mins slice.
+
+
+def _q8l_kernel(lref, x_ref, bs_ref, qs_ref, sc_ref, mins_ref, o_ref, acc_ref,
+                *, group):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = _scaled_deq(qs_ref[...].astype(jnp.bfloat16), sc_ref[...], group)
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        if mins_ref is not None:
+            # whole-K mins column block, applied once: acc -= bsums @ mins
+            acc_ref[...] -= jax.lax.dot(
+                bs_ref[...],
+                mins_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _q4l_kernel(
+    lref, x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_lo_ref,
+    sc_hi_ref, mins_ref, o_ref, acc_ref,
+):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    byte = qs_ref[...]
+    hi16f = (byte & jnp.int8(-16)).astype(jnp.bfloat16)
+    lof = byte.astype(jnp.bfloat16) - hi16f
+    w_lo = _scaled_deq(lof, sc_lo_ref[...], QBLOCK)
+    w_hi = _scaled_deq(hi16f, sc_hi_ref[...], QBLOCK)
+    acc_ref[...] += jax.lax.dot(
+        x_lo_ref[...].astype(jnp.bfloat16), w_lo,
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] += jax.lax.dot(
+        x_hi_ref[...].astype(jnp.bfloat16), w_hi,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        if mins_ref is not None:
+            acc_ref[...] -= jax.lax.dot(
+                bs_ref[...],
+                mins_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "group"))
+def _q8_matmul_layered(x, layer, qs, scales, mins=None,
+                       out_dtype=jnp.bfloat16, group=QBLOCK):
+    """x [B, K] @ qs[layer] for stacked qs [L, K, N]."""
+    b, k = x.shape
+    n = qs.shape[2]
+    tk, tn = _pick_tiles(b, k, n)
+    grid = (n // tn, k // tk)
+    kb = tk // group
+    has_mins = mins is not None
+    bsums = (
+        jnp.sum(x.astype(jnp.float32).reshape(b, k // group, group), axis=-1)
+        if has_mins
+        else jnp.zeros((b, 8), jnp.float32)
+    )
+    specs = [
+        pl.BlockSpec((b, tk), lambda j, kk, lr: (0, kk)),
+        # full activation block-sums in one block (tiny; mins dot runs once)
+        pl.BlockSpec(bsums.shape, lambda j, kk, lr: (0, 0)),
+        pl.BlockSpec((None, tk, tn), lambda j, kk, lr: (lr[0], kk, j)),
+        pl.BlockSpec((None, kb, tn), lambda j, kk, lr: (lr[0], kk, j)),
+    ]
+    args = [jnp.asarray(layer, jnp.int32).reshape(1), x, bsums, qs, scales]
+    if has_mins:
+        # whole-K mins column block (constant over kk -> fetched once per j)
+        specs.append(
+            pl.BlockSpec((None, k // group, tn), lambda j, kk, lr: (lr[0], 0, j))
+        )
+        args.append(mins)
+        kernel = functools.partial(_q8l_kernel, group=group)
+    else:
+        def kernel(lref, x_ref, bs_ref, qs_ref, sc_ref, o_ref, acc_ref):
+            return _q8l_kernel(
+                lref, x_ref, bs_ref, qs_ref, sc_ref, None, o_ref, acc_ref,
+                group=group,
+            )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=specs,
+            out_specs=pl.BlockSpec((b, tn), lambda j, kk, lr: (0, j)),
+            scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n + (k // group) * n * 4 + b * k * 2 + b * n * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _q4_matmul_layered(x, layer, qs, scales, mins=None, out_dtype=jnp.bfloat16):
+    """x [B, K] @ 4-bit stacked qs [L, K/2, N] (split-half packed)."""
+    b, k = x.shape
+    n = qs.shape[2]
+    tkb, tn = _pick_tiles(b, k // 2, n)
+    nk = (k // 2) // tkb
+    grid = (n // tn, nk)
+    kb = tkb // QBLOCK
+    has_mins = mins is not None
+    bsums = (
+        jnp.sum(x.astype(jnp.float32).reshape(b, k // QBLOCK, QBLOCK), axis=-1)
+        if has_mins
+        else jnp.zeros((b, 8), jnp.float32)
+    )
+    specs = [
+        pl.BlockSpec((b, tkb), lambda j, kk, lr: (0, kk)),
+        pl.BlockSpec((b, tkb), lambda j, kk, lr, nk=nk: (0, kk + nk)),
+        pl.BlockSpec(bsums.shape, lambda j, kk, lr: (0, 0)),
+        pl.BlockSpec((None, tkb, tn), lambda j, kk, lr: (lr[0], kk, j)),
+        pl.BlockSpec((None, kb, tn), lambda j, kk, lr: (lr[0], kk, j)),
+        pl.BlockSpec((None, kb, tn), lambda j, kk, lr, nk=nk: (lr[0], kk + nk, j)),
+    ]
+    args = [
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x, x, bsums, qs, scales, scales,
+    ]
+    if has_mins:
+        # mins rows are ordered lo-half then hi-half along K/32 — matching
+        # bsums' natural k order, so one whole-K column block works
+        specs.append(
+            pl.BlockSpec((None, k // QBLOCK, tn), lambda j, kk, lr: (lr[0], 0, j))
+        )
+        args.append(mins)
+        kernel = _q4l_kernel
+    else:
+        def kernel(lref, xlo, xhi, bs, qs_r, sclo, schi, o, acc):
+            return _q4l_kernel(
+                lref, xlo, xhi, bs, qs_r, sclo, schi, None, o, acc,
+            )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=specs,
+            out_specs=pl.BlockSpec((b, tn), lambda j, kk, lr: (0, j)),
+            scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=(k // 2) * n + (k // QBLOCK) * n * 4 + b * k * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _densel_kernel(lref, x_ref, w_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # no downcast: bf16 operands hit the MXU natively; f32 (tests, f32
+    # activations) keeps full precision instead of silently rounding
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...], w_ref[...], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _dense_matmul_layered(x, layer, w, out_dtype=jnp.bfloat16):
+    """x [B, K] @ w[layer] for stacked dense w [L, K, N] — reads the layer's
+    tiles straight from the stacked HBM buffer (no XLA-level slice copy)."""
+    b, k = x.shape
+    n = w.shape[2]
+    tk, tn = _pick_tiles(b, k, n)
+    grid = (n // tn, k // tk)
+    return pl.pallas_call(
+        _densel_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((b, tk), lambda j, kk, lr: (0, kk)),
+                pl.BlockSpec((None, tk, tn), lambda j, kk, lr: (lr[0], kk, j)),
+            ],
+            out_specs=pl.BlockSpec((b, tn), lambda j, kk, lr: (0, j)),
+            scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n * 2 + b * k * 2 + b * n * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, w)
+
+
+def linear_layered(x: jax.Array, w, layer: jax.Array) -> jax.Array:
+    """Layer-indexed dense/quantized matmul over stacked weights [L, ...]."""
+    if isinstance(w, QTensor):
+        return qmatmul_layered(x, w, layer)
+    lead = x.shape[:-1]
+    k, n = w.shape[1], w.shape[2]
+    xb = x.reshape(-1, k)
+    tk, tn = _pick_tiles(xb.shape[0], k, n)
+    if KERNEL_ENABLED and k % tk == 0 and n % tn == 0 and tk % 128 == 0:
+        y = _dense_matmul_layered(xb.astype(w.dtype), layer, w, out_dtype=x.dtype)
+    else:
+        y = xb @ jax.lax.dynamic_index_in_dim(w, layer, 0, keepdims=False)
+    return y.reshape(*lead, n).astype(x.dtype)
+
+
+def _layer_view(qt: QTensor) -> QTensor:
+    """Metadata-only per-layer view of a stacked QTensor (leaves [L, ...])."""
+    return qt.replace(qs=None, scales=None, mins=None)
+
+
+def qmatmul_layered(
+    x: jax.Array, qt: QTensor, layer: jax.Array, use_kernel: bool = True
+) -> jax.Array:
+    """x [..., K] @ W[layer] for a layer-stacked QTensor (leaves [L, ...]).
+
+    The Pallas path never materializes the layer's weight: the traced layer
+    index rides the scalar-prefetch channel into the BlockSpec index maps.
+    Fallback (tiny shapes / disabled kernels) slices the leaves and runs the
+    XLA dequant path.
+    """
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, qt.k)
+    eligible = (
+        use_kernel
+        and KERNEL_ENABLED
+        and qt.sections == 1
+        and kernel_supported(_layer_view(qt))
+    )
+    if eligible:
+        if qt.kind == "q8":
+            y = _q8_matmul_layered(
+                xb, layer, qt.qs, qt.scales, qt.mins, group=qt.group
+            )
+        else:
+            y = _q4_matmul_layered(xb, layer, qt.qs, qt.scales, qt.mins)
+    else:
+        take = functools.partial(jax.lax.dynamic_index_in_dim,
+                                 index=layer, axis=0, keepdims=False)
+        sliced = qt.replace(
+            qs=take(qt.qs),
+            scales=take(qt.scales),
+            mins=None if qt.mins is None else take(qt.mins),
+        )
+        y = _qmatmul_local(xb, sliced, use_kernel)
+    return y.reshape(*lead, qt.n)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 

@@ -111,3 +111,35 @@ def test_moe_hf_golden_parity(tmp_path):
     ours = np.asarray(logits_for(params, h)[0])
     np.testing.assert_allclose(ours, hf_logits, rtol=3e-4, atol=3e-4)
     g.close()
+
+
+def test_moe_grouped_matches_dense(tmp_path):
+    """ragged_dot grouped dispatch must reproduce the all-expert dense mix
+    bit-for-bit up to f32 reduction order, across an uneven routing pattern
+    (batch of 6 tokens over 4 experts, top-2: some experts get 0 rows)."""
+    from nfai_tpu.models import llama as llama_mod
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "moe.gguf", arch="qwen3moe", n_experts=4, n_experts_used=2,
+        qk_norm=True, seed=9,
+    )
+    with GGUFFile.open(path) as g:
+        cfg = LlamaConfig.from_gguf(g)
+        params = load_params(g, cfg, dtype=jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(2).integers(4, 200, (2, 3)),
+                       jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32), (2, 3))
+
+    def run(impl):
+        old = llama_mod.MOE_IMPL
+        llama_mod.MOE_IMPL = impl
+        try:
+            cache = KVCache.zeros(cfg, 2, 8, jnp.float32)
+            h, _ = forward(params, cfg, toks, pos, cache,
+                           activation_dtype=jnp.float32)
+            return np.asarray(logits_for(params, h), np.float32)
+        finally:
+            llama_mod.MOE_IMPL = old
+
+    dense, grouped = run("dense"), run("grouped")
+    np.testing.assert_allclose(grouped, dense, rtol=2e-5, atol=2e-5)

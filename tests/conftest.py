@@ -37,3 +37,9 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process spawns, big sweeps)"
+    )

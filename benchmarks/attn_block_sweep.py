@@ -30,17 +30,18 @@ def sync(x):
 def main():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
+    KVD = HKV * D
     q = jax.random.normal(ks[0], (B, HKV * R, D), jnp.bfloat16)
-    kn = jax.random.normal(ks[1], (B, HKV, D), jnp.bfloat16)
-    vn = jax.random.normal(ks[2], (B, HKV, D), jnp.bfloat16)
-    kc = jax.random.normal(ks[3], (L, HKV, B, S, D), jnp.bfloat16)
-    vc = jax.random.normal(ks[4], (L, HKV, B, S, D), jnp.bfloat16)
+    kn = jax.random.normal(ks[1], (B, KVD), jnp.bfloat16)
+    vn = jax.random.normal(ks[2], (B, KVD), jnp.bfloat16)
+    kc = jax.random.normal(ks[3], (L, B, S, KVD), jnp.bfloat16)
+    vc = jax.random.normal(ks[4], (L, B, S, KVD), jnp.bfloat16)
 
     for name, starts in (
         ("full", jnp.full((B,), S - 1, jnp.int32)),
         ("mid", jnp.full((B,), 384, jnp.int32)),
     ):
-        for s_block in (128, 256, 512, 1024):
+        for s_block in (256, 512):
             @jax.jit
             def run(q, kn, vn, kc, vc, starts, s_block=s_block):
                 def body(i, acc):

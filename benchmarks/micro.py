@@ -64,25 +64,28 @@ def bench_slope(name, step_fn, state, n=64, rep=3):
 
 
 def attn_benches():
-    from nfai_tpu.ops.decode_attention import flash_decode_attention
+    from nfai_tpu.ops.fused_decode import layered_decode_attention
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
+    KVD = HKV * D
     q = jax.random.normal(k1, (B, HQ, D), jnp.bfloat16)
-    kc = jax.random.normal(k2, (HKV, B, S, D), jnp.bfloat16)
-    vc = jax.random.normal(k3, (HKV, B, S, D), jnp.bfloat16)
-    lengths = jnp.full((B,), S, jnp.int32)
+    kn = jax.random.normal(k1, (B, KVD), jnp.bfloat16)
+    vn = jax.random.normal(k1, (B, KVD), jnp.bfloat16)
+    kc = jax.random.normal(k2, (L, B, S, KVD), jnp.bfloat16)
+    vc = jax.random.normal(k3, (L, B, S, KVD), jnp.bfloat16)
+    starts = jnp.full((B,), S - 1, jnp.int32)
     positions = jnp.full((B, 1), S - 1, jnp.int32)
 
-    ideal = 2 * HKV * B * S * D * 2 / 819e9 * L
-    print(f"[attn] per-16-layer-step ideal (full-S read): {ideal*1e3:.3f} ms")
+    ideal = 2 * B * S * KVD * 2 / 819e9 * L
+    print(f"[attn] per-{L}-layer-step ideal (full-S read): {ideal*1e3:.3f} ms")
 
     def mk_einsum():
         from nfai_tpu.models.llama import _cached_attention
 
         def step(c):
             q, kc, vc = c
-            o = _cached_attention(q[:, None], kc, vc, positions)
+            o = _cached_attention(q[:, None], kc[0], vc[0], positions)
             return (q + o[:, 0] * 1e-6, kc, vc)
 
         return step
@@ -90,7 +93,9 @@ def attn_benches():
     def mk_kernel(s_block):
         def step(c):
             q, kc, vc = c
-            o = flash_decode_attention(q, kc, vc, lengths, s_block=s_block)
+            o = layered_decode_attention(
+                q, kn, vn, kc, vc, jnp.int32(0), starts, s_block=s_block
+            )
             return (q + o * 1e-6, kc, vc)
 
         return step
@@ -98,7 +103,7 @@ def attn_benches():
     t = bench_slope("einsum xla attention", mk_einsum(), (q, kc, vc))
     print(f"  = {t*L*1e3:.3f} ms per step of {L} layers")
     for sb in (256, 512, 1024):
-        t = bench_slope(f"flash kernel s_block={sb}", mk_kernel(sb), (q, kc, vc))
+        t = bench_slope(f"layered kernel s_block={sb}", mk_kernel(sb), (q, kc, vc))
         print(f"  = {t*L*1e3:.3f} ms per step of {L} layers")
 
 

@@ -296,7 +296,7 @@ def main():
     bench_slope(
         "vab   ", lambda c: couple(q4_call(_vab_kernel, c, qs, scales), c), x
     )
-    for tkb, tn_ in ((512, 512), (1024, 256), (256, 256)):
+    for tkb, tn_ in ((512, 512), (1024, 256), (1024, 512), (1024, 1024), (2048, 256), (256, 256)):
         if (k // 2) % tkb == 0 and n % tn_ == 0:
             bench_slope(
                 f"vab {tkb}x{tn_}",

@@ -1,0 +1,111 @@
+"""Per-kernel real-TPU parity: layered attention, layered matmuls, cache write.
+
+Isolates each Pallas kernel of the fused decode path against its jnp
+reference on the actual chip (no interpret mode). Run when tpu_parity.py
+fails to localize which kernel miscompiles.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nfai_tpu.utils.jax_setup import enable_persistent_cache
+
+enable_persistent_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def report(name, got, want, tol=2e-2):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    scale = np.abs(want).max() + 1e-6
+    dev = np.abs(got - want).max() / scale
+    print(f"{name}: rel dev {dev:.5f} {'OK' if dev < tol else 'FAIL'}",
+          flush=True)
+    return dev < tol
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    ok = True
+    rng = np.random.default_rng(0)
+
+    # --- layered decode attention ------------------------------------------
+    from nfai_tpu.ops.fused_decode import (
+        layered_decode_attention,
+        layered_decode_reference,
+        write_all_layers,
+        write_cache_rows,
+    )
+
+    l, hkv, r, b, s, d = 3, 2, 4, 4, 256, 64
+    hq, kvd = hkv * r, hkv * d
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    starts = jnp.asarray([0, 1, 130, s - 1], jnp.int32)
+    for layer in (0, 2):
+        ref, kref, vref = layered_decode_reference(
+            q, kn, vn, kc, vc, jnp.int32(layer), starts
+        )
+        out = layered_decode_attention(
+            q, kn, vn, kc, vc, jnp.int32(layer), starts, s_block=128
+        )
+        # f32 MXU dots round through bf16 passes on TPU: ~0.4% vs the XLA
+        # einsum reference is expected, bf16-pipeline-accurate
+        ok &= report(f"attn layer={layer}", out, ref, tol=2e-2)
+
+    # --- write_all_layers ---------------------------------------------------
+    rows = jnp.asarray(rng.standard_normal((l, b, kvd)), jnp.float32)
+    want = kc
+    for li in range(l):
+        want = write_cache_rows(want, rows[li], jnp.int32(li), starts)
+    got = write_all_layers(kc, rows, starts)
+    ok &= report("write_all_layers", got, want, tol=1e-6)
+
+    # --- layered matmuls ----------------------------------------------------
+    from nfai_tpu.ops.qmatmul import linear_layered
+    from nfai_tpu.ops.qtensor import QTensor
+
+    L, K, N = 3, 512, 1024
+    x = jnp.asarray(rng.standard_normal((8, K)), jnp.bfloat16)
+    wd = jnp.asarray(rng.standard_normal((L, K, N)) * 0.05, jnp.bfloat16)
+    for li in (0, L - 1):
+        got = linear_layered(x, wd, jnp.int32(li))
+        want = (x @ wd[li]).astype(x.dtype)
+        ok &= report(f"dense_layered l={li}", got, want, tol=2e-2)
+
+    qs8 = jnp.asarray(rng.integers(-127, 128, (L, K, N)), jnp.int8)
+    sc8 = jnp.asarray(rng.uniform(0.001, 0.01, (L, K // 32, N)), jnp.float32)
+    qt8 = QTensor(qs8, sc8, None, "q8", K, N)
+    for li in (0, L - 1):
+        got = linear_layered(x, qt8, jnp.int32(li))
+        wl = (
+            qs8[li].astype(jnp.float32).reshape(K // 32, 32, N)
+            * sc8[li][:, None, :]
+        ).reshape(K, N)
+        want = x.astype(jnp.float32) @ wl
+        ok &= report(f"q8_layered l={li}", got, want, tol=2e-2)
+
+    qs4 = jnp.asarray(rng.integers(-128, 128, (L, K // 2, N)), jnp.int8)
+    sc4 = jnp.asarray(rng.uniform(0.001, 0.01, (L, K // 32, N)), jnp.float32)
+    mins4 = sc4 * 8.0
+    qt4 = QTensor(qs4, sc4, mins4, "q4", K, N)
+    from nfai_tpu.ops.qmatmul import qmatmul as qmm_ref
+
+    for li in (0, L - 1):
+        got = linear_layered(x, qt4, jnp.int32(li))
+        sliced = QTensor(qs4[li], sc4[li], mins4[li], "q4", K, N)
+        want = qmm_ref(x, sliced, use_kernel=False)
+        ok &= report(f"q4_layered l={li}", got, want, tol=2e-2)
+
+    print("KERNELS-OK" if ok else "KERNELS-FAIL", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

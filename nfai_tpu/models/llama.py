@@ -112,11 +112,17 @@ class LlamaConfig:
 
 
 class KVCache(NamedTuple):
-    """Dense per-layer KV cache. k/v: [L, H_kv, B, S_max, D].
+    """Dense per-layer KV cache. k/v: [L, B, S_max, KVD] with KVD = H_kv * D
+    (head-major columns: column h*D + d is head h, dim d).
 
-    Head-major layout: per layer, [H_kv, B, S, D] reshapes zero-copy to the
-    [H_kv, pages, page_size, D] view the paged decode-attention kernel wants,
-    and the kv-head axis stays leading for tensor-parallel sharding.
+    Merged-lane layout: one S-block is a [s_block, KVD] tile holding every
+    head's keys for those positions — the fused decode kernel
+    (ops.fused_decode) streams it with one contiguous DMA per block and does
+    ONE MXU dot for all heads (block-diagonal query trick). Writing a token
+    is one contiguous KVD-row write. Per layer, [B, S, KVD] reshapes
+    zero-copy to the [B, S, H_kv, D] view the prefill kernel and the einsum
+    fallback use, and tensor-parallel sharding splits the KVD axis (whole
+    heads per shard, since columns are head-major).
     """
 
     k: jax.Array
@@ -126,12 +132,14 @@ class KVCache(NamedTuple):
     def zeros(
         cls, cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
     ) -> "KVCache":
-        shape = (cfg.n_layers, cfg.n_kv_heads, batch, max_seq, cfg.head_dim)
+        shape = (
+            cfg.n_layers, batch, max_seq, cfg.n_kv_heads * cfg.head_dim,
+        )
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[2]
 
 
 # ---------------------------------------------------------------------------
@@ -438,13 +446,6 @@ def load_params(
 # forward pass
 
 
-# decode attention implementation: "auto" uses the flash-decode Pallas kernel
-# on TPU backends (single-token queries); "xla" forces the einsum path (CPU
-# tests, meshes pending shard_map integration); "paged" forces the kernel
-# even on CPU (interpret mode, parity tests). Module-level because it is read
-# at trace time, after the engine configures it.
-DECODE_ATTN_IMPL = "auto"
-
 # prefill attention: "auto" uses the flash prefill kernel (no materialized
 # [T, S] scores) for chunks >= _FLASH_PREFILL_MIN_T on TPU; "xla" forces the
 # masked dense path; "flash" forces the kernel even on CPU (interpret mode).
@@ -456,19 +457,22 @@ PAGE_SIZE = 128  # decode kernel S-block granularity constraint
 
 def _cached_attention(
     q: jax.Array,  # [B, T, Hq, D]
-    k_cache: jax.Array,  # [Hkv, B, S, D]
-    v_cache: jax.Array,  # [Hkv, B, S, D]
+    k_cache: jax.Array,  # [B, S, KVD] merged-lane (KVD = Hkv*D, head-major)
+    v_cache: jax.Array,  # [B, S, KVD]
     positions: jax.Array,  # [B, T] absolute positions of q tokens
 ) -> jax.Array:
     """Attention of new tokens against the (just-updated) cache.
 
     Causal mask against absolute positions: cache slot s is visible to query
     at position p iff s <= p. Slots beyond the written length have s > p for
-    every query, so they are masked implicitly. Single-token queries take the
-    fused paged-kernel path on TPU.
+    every query, so they are masked implicitly. Prefill chunks take the
+    flash kernel on TPU; single-token decode normally never reaches here
+    (the fused layered kernel handles it) — the einsum path below covers
+    CPU tests and the TP/MoE fallbacks.
     """
     b, t, hq, d = q.shape
-    hkv, _, s, _ = k_cache.shape
+    _, s, kvd = k_cache.shape
+    hkv = kvd // d
     # prefill chunks (contiguous positions per row — the only T>1 callers)
     # above the threshold take the flash kernel: no [T, S] scores in HBM
     use_flash_prefill = (
@@ -490,60 +494,37 @@ def _cached_attention(
 
         return flash_prefill_attention(
             q,
-            k_cache,
-            v_cache,
+            # head-major materialized view: see flash_prefill_attention
+            k_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3),
+            v_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3),
             positions[:, 0],
             t_block=t if t <= 256 else 256,
             s_block=128 if s % 512 else 512,
             interpret=jax.default_backend() == "cpu",
         ).astype(q.dtype)
-    # heuristic: the fused kernel wins on long caches (launch overhead is
-    # amortized over S); XLA's fused einsum wins at short S (measured
-    # crossover ~2k slots on v5e for 1B shapes)
-    use_paged = (
-        t == 1
-        and s % PAGE_SIZE == 0
-        and (
-            (
-                DECODE_ATTN_IMPL == "auto"
-                and jax.default_backend() != "cpu"
-                and s >= 2048
-            )
-            or DECODE_ATTN_IMPL == "paged"
-        )
-    )
-    if use_paged:
-        from ..ops.decode_attention import flash_decode_attention
-
-        out = flash_decode_attention(
-            q[:, 0],
-            k_cache,
-            v_cache,
-            positions[:, 0] + 1,
-            interpret=jax.default_backend() == "cpu",
-        )
-        return out[:, None].astype(q.dtype)
     n_rep = hq // hkv
     scale = 1.0 / (d**0.5)
     qg = q.reshape(b, t, hkv, n_rep, d)
+    k5 = k_cache.reshape(b, s, hkv, d)
+    v5 = v_cache.reshape(b, s, hkv, d)
     logits = jnp.einsum(
-        "bthrd,hbsd->bhrts", qg, k_cache, preferred_element_type=jnp.float32
+        "bthrd,bshd->bhrts", qg, k5, preferred_element_type=jnp.float32
     )
     logits = logits * scale
     mask = jnp.arange(s)[None, None, :] <= positions[:, :, None]  # [B,T,S]
     logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("bhrts,hbsd->bthrd", weights, v_cache)
+    out = jnp.einsum("bhrts,bshd->bthrd", weights, v5)
     return out.reshape(b, t, hq, d)
 
 
 def _gather_pages(pages: jax.Array, tables: jax.Array) -> jax.Array:
-    """[Hkv, P, ps, D] + [B, NP] -> dense [Hkv, B, NP*ps, D] view of each
-    sequence's pages (prefill-chunk attention path; decode uses the paged
-    kernel without materializing this)."""
+    """[Hkv, P, ps, D] + [B, NP] -> dense merged-lane [B, NP*ps, Hkv*D] view
+    of each sequence's pages (prefill-chunk attention path; decode uses the
+    paged kernel without materializing this)."""
     g = jnp.take(pages, tables, axis=1)  # [Hkv, B, NP, ps, D]
     hkv, b, np_, ps, d = g.shape
-    return g.reshape(hkv, b, np_ * ps, d)
+    return g.transpose(1, 2, 3, 0, 4).reshape(b, np_ * ps, hkv * d)
 
 
 def _paged_attention(
@@ -580,21 +561,23 @@ def _paged_attention(
 def _write_cache(
     cache: jax.Array, new: jax.Array, starts: jax.Array, uniform_start: bool
 ) -> jax.Array:
-    """Write new [B, T, H, D] into cache [H, B, S, D] at per-batch offsets.
+    """Write new [B, T, H, D] into cache [B, S, KVD] at per-batch offsets —
+    contiguous [T, KVD] row-block writes in the merged-lane layout.
 
     With `uniform_start` (all sequences at the same position — single-request
     generate, lockstep batches) this is one dynamic_update_slice, which XLA
     reliably performs in place. The per-batch path vmaps the update (a
     scatter; needed for continuous batching where offsets differ).
     """
-    new = jnp.moveaxis(new.astype(cache.dtype), 2, 0)  # [H, B, T, D]
+    b, t, h, d = new.shape
+    new = new.astype(cache.dtype).reshape(b, t, h * d)
     if uniform_start:
-        return jax.lax.dynamic_update_slice(cache, new, (0, 0, starts[0], 0))
+        return jax.lax.dynamic_update_slice(cache, new, (0, starts[0], 0))
 
-    def upd(c, n, s):  # c: [H, S, D], n: [H, T, D]
-        return jax.lax.dynamic_update_slice(c, n, (0, s, 0))
+    def upd(c, n, s):  # c: [S, KVD], n: [T, KVD]
+        return jax.lax.dynamic_update_slice(c, n, (s, 0))
 
-    return jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(cache, new, starts)
+    return jax.vmap(upd)(cache, new, starts)
 
 
 # fused decode path: "auto" uses the one-kernel-per-layer fused
@@ -701,8 +684,8 @@ def _decode_forward_fused(
             k = rms_norm(k, sm["k_norm"], cfg.rms_eps)
         q = apply_rope_cs(q, cos, sin, neox=True)
         k = apply_rope_cs(k, cos, sin, neox=True)
-        kn = k[:, 0].reshape(b, cfg.n_kv_heads, cfg.head_dim)
-        vn = v[:, 0].reshape(b, cfg.n_kv_heads, cfg.head_dim)
+        kn = k[:, 0].reshape(b, kvd)  # merged-lane new rows [B, KVD]
+        vn = v[:, 0].reshape(b, kvd)
         attn = layered_decode_attention(
             q[:, 0], kn, vn, cache.k, cache.v, lidx, starts,
             s_block=s_block, interpret=interp,
@@ -828,13 +811,13 @@ def forward(
             attn = _paged_attention(
                 q, k_cache_l, v_cache_l, page_tables, positions
             )
-        elif attend_len is not None and attend_len < k_cache_l.shape[2]:
+        elif attend_len is not None and attend_len < k_cache_l.shape[1]:
             k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
             v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
             attn = _cached_attention(
                 q,
-                k_cache_l[:, :, :attend_len],
-                v_cache_l[:, :, :attend_len],
+                k_cache_l[:, :attend_len],
+                v_cache_l[:, :attend_len],
                 positions,
             )
         else:
@@ -973,7 +956,7 @@ def prefill_slot_step(
     tokens: jax.Array,  # [1, T_chunk]
     positions: jax.Array,  # [1, T_chunk]
     last_index: jax.Array,  # [1]
-    cache: KVCache,  # full batched cache [L, H, B, S, D]
+    cache: KVCache,  # full batched cache [L, B, S, KVD]
     slot: jax.Array,  # scalar: which batch slot to prefill into
 ) -> tuple[jax.Array, KVCache]:
     """Prefill one sequence into batch slot `slot` of a shared cache.
@@ -982,15 +965,15 @@ def prefill_slot_step(
     their decoded state: the slot's cache lane is sliced out, the chunk runs
     as a batch-1 forward, and the lane is written back.
     """
-    k_slot = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=2)
-    v_slot = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=2)
+    k_slot = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
+    v_slot = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
     h, slot_cache = forward(
         params, cfg, tokens, positions, KVCache(k_slot, v_slot)
     )
     h_last = jnp.take_along_axis(h, last_index[:, None, None], axis=1)
     logits = logits_for(params, h_last)[:, 0, :]
-    k = jax.lax.dynamic_update_slice_in_dim(cache.k, slot_cache.k, slot, axis=2)
-    v = jax.lax.dynamic_update_slice_in_dim(cache.v, slot_cache.v, slot, axis=2)
+    k = jax.lax.dynamic_update_slice_in_dim(cache.k, slot_cache.k, slot, axis=1)
+    v = jax.lax.dynamic_update_slice_in_dim(cache.v, slot_cache.v, slot, axis=1)
     return logits, KVCache(k, v)
 
 

@@ -5,8 +5,8 @@ Parity target: the reference's three separate kernels —
 ``kvHead = qHead / (qHeads/kvHeads)``, −1e9 masking),
 ``AttentionSoftmaxShader.cs:139-178`` (3-pass softmax),
 ``AttentionWeightedValueSumShader.cs:175-216`` (weighted V sum) —
-fused here into single XLA computations (and a flash-style Pallas decode
-kernel in `nfai_tpu.ops.decode_attention`). Softmax runs in f32;
+fused here into single XLA computations (and the layer-indexed flash decode
+kernel in `nfai_tpu.ops.fused_decode`). Softmax runs in f32;
 scale = 1/sqrt(head_dim).
 """
 from __future__ import annotations

@@ -102,16 +102,24 @@ def _prefill_kernel(
 )
 def flash_prefill_attention(
     q: jax.Array,  # [B, T, Hq, D]
-    k_cache: jax.Array,  # [Hkv, B, S, D] — chunk K/V already written
-    v_cache: jax.Array,  # [Hkv, B, S, D]
+    k_cache: jax.Array,  # [B, Hkv, S, D] — chunk K/V already written
+    v_cache: jax.Array,  # [B, Hkv, S, D]
     offsets: jax.Array,  # [B] int32 absolute position of q[:, 0]
     t_block: int = DEFAULT_T_BLOCK,
     s_block: int = DEFAULT_S_BLOCK,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns [B, T, Hq, D]; query t attends cache slots <= offsets[b]+t."""
+    """Returns [B, T, Hq, D]; query t attends cache slots <= offsets[b]+t.
+
+    The cache arrives head-major [B, Hkv, S, D]: the caller transposes the
+    merged-lane [B, S, KVD] storage (models.llama.KVCache) per chunk — a
+    Mosaic block cannot slice one head out of the S-major view ((squeezed)
+    second-minor dims are illegal), and the transpose costs ~2 cache-sized
+    HBM passes amortized over the whole chunk (<3% of chunk time). TODO: an
+    in-kernel head loop over full-width [s_block, KVD] blocks would remove
+    the transpose at the cost of per-head softmax-state slices."""
     b, t, hq, d = q.shape
-    hkv, _, s, _ = k_cache.shape
+    _, hkv, s, _ = k_cache.shape
     r = hq // hkv
     t_block = min(t_block, t)
     s_block = min(s_block, s)
@@ -141,11 +149,11 @@ def flash_prefill_attention(
                 ),
                 pl.BlockSpec(
                     (None, None, s_block, d),
-                    lambda bb, h, tb, kk: (h, bb, kk, 0),
+                    lambda bb, h, tb, kk: (bb, h, kk, 0),
                 ),
                 pl.BlockSpec(
                     (None, None, s_block, d),
-                    lambda bb, h, tb, kk: (h, bb, kk, 0),
+                    lambda bb, h, tb, kk: (bb, h, kk, 0),
                 ),
             ],
             out_specs=pl.BlockSpec(

@@ -137,11 +137,13 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
 
 
 def kv_cache_sharding(mesh: Mesh, batch: int | None = None) -> NamedSharding:
-    """[L, H_kv, B, S, D] — kv heads over tp, batch over dp (replicated when
-    the batch does not divide the dp axis, e.g. single-request generate)."""
+    """[L, B, S, KVD] — the merged KVD axis is head-major, so sharding it
+    over tp keeps whole kv-heads per shard (validate_tp guarantees
+    n_kv_heads % tp == 0); batch over dp (replicated when the batch does not
+    divide the dp axis, e.g. single-request generate)."""
     dp = mesh.shape[DP_AXIS]
     batch_axis = DP_AXIS if (batch is None or batch % dp == 0) else None
-    return NamedSharding(mesh, P(None, TP_AXIS, batch_axis, None, None))
+    return NamedSharding(mesh, P(None, batch_axis, None, TP_AXIS))
 
 
 def token_sharding(mesh: Mesh) -> NamedSharding:

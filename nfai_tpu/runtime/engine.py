@@ -418,6 +418,13 @@ class ChatSession:
             session.messages = [Message(**m) for m in meta["messages"]]
             session._cached_ids = [int(t) for t in meta["cached_ids"]]
             if "cache_k" in z:
+                if z["cache_k"].ndim != 4:
+                    # pre-merged-lane sessions stored [L, Hkv, B, S, D]
+                    raise ValueError(
+                        "session cache uses the old per-head KV layout; "
+                        "re-create the session (cache layout is now "
+                        "[L, B, S, Hkv*D])"
+                    )
                 session._cache = KVCache(
                     jnp.asarray(z["cache_k"]), jnp.asarray(z["cache_v"])
                 )

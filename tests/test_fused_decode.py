@@ -1,10 +1,11 @@
 """Fused single-token decode path: layer-indexed Pallas kernels.
 
 The fused path (models.llama._decode_forward_fused) replaces the generic
-layer-scan with kernels that index the stacked weights / KV cache by a
-scalar-prefetch layer id (ops.fused_decode, ops.qmatmul.*_layered). These
-tests pin its numerics against the XLA path across the model-family quirks
-(biases, qk-norm, pre-fused projections, GELU/embed-scale) in interpret mode.
+layer-scan with kernels that index the stacked weights / merged-lane KV cache
+[L, B, S, KVD] by a scalar-prefetch layer id (ops.fused_decode,
+ops.qmatmul.*_layered). These tests pin its numerics against the XLA path
+across the model-family quirks (biases, qk-norm, pre-fused projections,
+GELU/embed-scale) in interpret mode.
 """
 import numpy as np
 import pytest
@@ -33,12 +34,12 @@ def force_fused():
 
 def test_layered_attention_kernel_parity(rng):
     l, hkv, r, b, s, d = 3, 2, 4, 4, 256, 64
-    hq = hkv * r
+    hq, kvd = hkv * r, hkv * d
     q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
-    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
-    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
-    kc = jnp.asarray(rng.standard_normal((l, hkv, b, s, d)), jnp.float32)
-    vc = jnp.asarray(rng.standard_normal((l, hkv, b, s, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
     # includes 0 (no old tokens), a mid-block length, and full cache - 1
     starts = jnp.asarray([0, 1, 130, s - 1], jnp.int32)
     for layer in (0, 2):
@@ -59,11 +60,12 @@ def test_layered_attention_kernel_parity(rng):
 def test_layered_attention_respects_layer_index(rng):
     """Attending over layer 1 must not read layer 0's cache."""
     l, hkv, r, b, s, d = 2, 1, 2, 2, 128, 64
+    kvd = hkv * d
     q = jnp.asarray(rng.standard_normal((b, hkv * r, d)), jnp.float32)
-    kn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
-    vn = jnp.asarray(rng.standard_normal((b, hkv, d)), jnp.float32)
-    kc = jnp.asarray(rng.standard_normal((l, hkv, b, s, d)), jnp.float32)
-    vc = jnp.asarray(rng.standard_normal((l, hkv, b, s, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
     starts = jnp.asarray([64, 100], jnp.int32)
     out1 = layered_decode_attention(
         q, kn, vn, kc, vc, jnp.int32(1), starts, s_block=128, interpret=True
@@ -75,6 +77,36 @@ def test_layered_attention_respects_layer_index(rng):
         q, kn, vn, kc0, vc0, jnp.int32(1), starts, s_block=128, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out1b))
+
+
+def test_layered_attention_gqa_head_isolation(rng):
+    """With Hkv=2 groups, scrambling head 1's cache must not change head 0's
+    output (the block-diagonal query trick must not leak across heads)."""
+    l, hkv, r, b, s, d = 1, 2, 2, 2, 128, 64
+    hq, kvd = hkv * r, hkv * d
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    starts = jnp.asarray([100, 64], jnp.int32)
+    out = layered_decode_attention(
+        q, kn, vn, kc, vc, jnp.int32(0), starts, s_block=128, interpret=True
+    )
+    # scramble head 1's columns (d..2d) everywhere
+    kc2 = kc.at[..., d:].multiply(-2.0)
+    vc2 = vc.at[..., d:].multiply(3.0)
+    kn2 = kn.at[..., d:].multiply(-1.5)
+    vn2 = vn.at[..., d:].multiply(2.5)
+    out2 = layered_decode_attention(
+        q, kn2, vn2, kc2, vc2, jnp.int32(0), starts, s_block=128,
+        interpret=True,
+    )
+    # head group 0 (query rows 0..r) untouched; group 1 must differ
+    np.testing.assert_array_equal(
+        np.asarray(out[:, :r]), np.asarray(out2[:, :r])
+    )
+    assert np.abs(np.asarray(out[:, r:]) - np.asarray(out2[:, r:])).max() > 0
 
 
 def _fused_vs_xla_logits(path, quantized, prompt_len=5):

@@ -11,18 +11,19 @@ NEG_INF = -1e30
 
 
 def reference(q, k_cache, v_cache, offsets):
+    # k/v cache: [B, Hkv, S, D]
     b, t, hq, d = q.shape
-    hkv, _, s, _ = k_cache.shape
+    _, hkv, s, _ = k_cache.shape
     r = hq // hkv
     qg = q.reshape(b, t, hkv, r, d).astype(jnp.float32)
     logits = jnp.einsum(
-        "bthrd,hbsd->bhrts", qg, k_cache.astype(jnp.float32)
+        "bthrd,bhsd->bhrts", qg, k_cache.astype(jnp.float32)
     ) / (d**0.5)
     pos = offsets[:, None] + jnp.arange(t)[None, :]  # [B, T]
     mask = jnp.arange(s)[None, None, :] <= pos[:, :, None]  # [B, T, S]
     logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhrts,hbsd->bthrd", w, v_cache.astype(jnp.float32))
+    out = jnp.einsum("bhrts,bhsd->bthrd", w, v_cache.astype(jnp.float32))
     return out.reshape(b, t, hq, d).astype(q.dtype)
 
 
@@ -33,8 +34,8 @@ def test_flash_prefill_matches_reference(offsets, tb, sb):
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     q = jax.random.normal(k1, (b, t, hq, d), jnp.float32)
-    kc = jax.random.normal(k2, (hkv, b, s, d), jnp.float32)
-    vc = jax.random.normal(k3, (hkv, b, s, d), jnp.float32)
+    kc = jax.random.normal(k2, (b, hkv, s, d), jnp.float32)
+    vc = jax.random.normal(k3, (b, hkv, s, d), jnp.float32)
     off = jnp.asarray(offsets, jnp.int32)
     got = flash_prefill_attention(
         q, kc, vc, off, t_block=tb, s_block=sb, interpret=True
@@ -52,8 +53,8 @@ def test_flash_prefill_first_chunk_offset_zero():
     key = jax.random.PRNGKey(1)
     k1, k2, k3 = jax.random.split(key, 3)
     q = jax.random.normal(k1, (b, t, hq, d), jnp.float32)
-    kc = jax.random.normal(k2, (hkv, b, s, d), jnp.float32)
-    vc = jax.random.normal(k3, (hkv, b, s, d), jnp.float32)
+    kc = jax.random.normal(k2, (b, hkv, s, d), jnp.float32)
+    vc = jax.random.normal(k3, (b, hkv, s, d), jnp.float32)
     off = jnp.zeros((b,), jnp.int32)
     got = flash_prefill_attention(q, kc, vc, off, t_block=64, s_block=128,
                                   interpret=True)
@@ -63,7 +64,7 @@ def test_flash_prefill_first_chunk_offset_zero():
     # q0 attends only slot 0: output equals v[slot 0] exactly
     np.testing.assert_allclose(
         np.asarray(got[0, 0].reshape(hq, d)),
-        np.asarray(vc[:, 0, 0, :]),
+        np.asarray(vc[0, :, 0, :]),
         atol=1e-5,
     )
 

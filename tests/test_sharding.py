@@ -89,8 +89,8 @@ def test_cache_sharding_layout(tmp_path):
         ),
     )
     cache = eng.new_cache(batch=2)
-    spec = cache.k.sharding.spec
-    assert spec[1] == TP_AXIS and spec[2] == DP_AXIS
+    spec = cache.k.sharding.spec  # [L, B, S, KVD]
+    assert spec[3] == TP_AXIS and spec[1] == DP_AXIS
     eng.gguf.close()
 
 

@@ -44,18 +44,19 @@ def build_state(size, quant, batch, seq, prompt):
     def rand(*shape):
         return (jax.random.normal(next(kiter), shape, jnp.float32) * 0.02).astype(dtype)
 
-    def weight(*shape):
+    def weight(*shape, pad_n_to=1):
         if quant == "none":
             return rand(*shape)
         lead, k, n = shape[:-2], shape[-2], shape[-1]
+        np_ = n + (-n) % pad_n_to
         scales = (
-            jax.random.uniform(next(kiter), (*lead, k // 32, n), jnp.float32) * 0.004
+            jax.random.uniform(next(kiter), (*lead, k // 32, np_), jnp.float32) * 0.004
         )
         if quant == "q8_0":
-            qs = jax.random.randint(next(kiter), (*lead, k, n), -127, 128, jnp.int8)
+            qs = jax.random.randint(next(kiter), (*lead, k, np_), -127, 128, jnp.int8)
             return QTensor(qs, scales, None, "q8", k, n)
         qs = jax.random.randint(
-            next(kiter), (*lead, k // 2, n), -128, 128, jnp.int32
+            next(kiter), (*lead, k // 2, np_), -128, 128, jnp.int32
         ).astype(jnp.int8)
         mins = scales * 8.0
         return QTensor(qs, scales, mins, "q4", k, n)
@@ -72,7 +73,7 @@ def build_state(size, quant, batch, seq, prompt):
             "w_down": weight(layers, ffn, hidden),
         },
         "final_norm": jnp.ones(hidden, jnp.float32),
-        "lm_head": weight(hidden, vocab),
+        "lm_head": weight(hidden, vocab, pad_n_to=512),
         "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
     }
     cache = KVCache.zeros(cfg, batch, seq, dtype)

@@ -395,13 +395,15 @@ def load_params(
         _fuse_projections(layers, cfg)
     stacked = {k: put(k, stack(v)) for k, v in layers.items()}
 
+    from ..ops.qtensor import pad_qtensor_n
+
     if cfg.tied_embeddings:
         if quantizable("token_embd.weight"):
             # one quantized table in head layout [K=hidden, N=vocab]; the
             # forward gathers embedding rows from it (tied weights,
             # reference: LlamaModel.cs:64-67)
             embed = None
-            lm_head = mat("token_embd.weight")
+            lm_head = pad_qtensor_n(mat("token_embd.weight"))
         else:
             embed = g.tensor_f32("token_embd.weight").astype(dtype)
             lm_head = np.ascontiguousarray(
@@ -410,6 +412,8 @@ def load_params(
     else:
         embed = g.tensor_f32("token_embd.weight").astype(dtype)
         lm_head = mat("output.weight")
+        if isinstance(lm_head, QTensor):
+            lm_head = pad_qtensor_n(lm_head)
 
     if "rope_freqs.weight" in g.tensors:
         # llama.cpp stores per-dim frequency *divisors* (freq_factors,

@@ -52,7 +52,14 @@ def _interpret() -> bool:
 
 def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
     """(TK, TN) tile sizes in k/n elements. K tiles run the reduction.
-    Falls back to full-dim tiles for small/odd shapes (tiny test models)."""
+    Falls back to full-dim tiles for small/odd shapes (tiny test models).
+
+    Tile sizing is the dominant lever on v5e (measured, qmm_probe2): the
+    shipped (512, 256) tiles left gate_up at 92 us vs 25.6 ideal purely from
+    per-grid-cell pipeline bubbles; (1024, 1024) runs 47.7 us and w_down
+    hits its DMA roofline. Very wide N (the 128k lm_head) prefers TN=512
+    (438 vs 461 us) — fewer bubbles already, smaller working set wins. The
+    int8 tile is capped at 1 MB; (1024, 2048) = 2 MB regressed everywhere."""
 
     def pick(dim, prefs):
         for p in prefs:
@@ -60,6 +67,23 @@ def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
                 return p
         return dim
 
+    # VMEM working-set estimate (v5e limit 16 MB): quantized tile + its
+    # double buffer + bf16 dequant halves ~ 6*tk*tn, activation blocks
+    # (two k-halves, bf16, double-buffered) ~ 8*b*tk, f32 accumulator +
+    # output ~ 6*b*tn. Decode (b<=64) gets the big tiles; prefill
+    # (b = batch*chunk rows) steps down automatically.
+    budget = 12 << 20
+    nprefs = (1024, 512, 256, 128) if n <= 16384 else (512, 256, 128)
+    for tn in nprefs:
+        if n % tn:
+            continue
+        # tk >= 256 keeps the scale block's sublane count a multiple of 8
+        # (group 32); the fallback below preserves the old small-shape paths
+        for tk in (1024, 512, 256):
+            if k % tk:
+                continue
+            if 6 * tk * tn + 8 * b * tk + 6 * b * tn <= budget:
+                return tk, tn
     return pick(k, (512, 256, 128)), pick(n, (256, 128))
 
 
@@ -560,6 +584,8 @@ def qmatmul_layered(
             )
         else:
             y = _q4_matmul_layered(xb, layer, qt.qs, qt.scales, qt.mins)
+        if y.shape[-1] != qt.n:  # N-padded container
+            y = y[..., : qt.n]
     else:
         take = functools.partial(jax.lax.dynamic_index_in_dim,
                                  index=layer, axis=0, keepdims=False)
@@ -595,11 +621,14 @@ def kernel_supported(qt: QTensor) -> bool:
     per-shard view is single-section) fall back to the XLA dequant path."""
     if qt.sections != 1:
         return False
+    # physical N may exceed qt.n (N-padded container); metadata-only views
+    # (_layer_view) carry qs=None and are never padded
+    n_phys = qt.n if qt.qs is None else qt.qs.shape[-1]
     if qt.kind == "q8":
-        tk, _ = _pick_tiles(0, qt.k, qt.n)
+        tk, _ = _pick_tiles(0, qt.k, n_phys)
         rows = tk // qt.group
         return rows % 8 == 0 or rows == qt.k // qt.group
-    tkb, _ = _pick_tiles(0, qt.k // 2, qt.n)
+    tkb, _ = _pick_tiles(0, qt.k // 2, n_phys)
     return (tkb // QBLOCK) % 8 == 0
 
 
@@ -619,6 +648,8 @@ def _qmatmul_local(xb: jax.Array, qt: QTensor, use_kernel: bool) -> jax.Array:
         y = (
             y.astype(jnp.float32) - mins_correction(xb, qt.mins, qt.group)
         ).astype(y.dtype)
+    if y.shape[-1] != qt.n:  # N-padded container (see pad_qtensor_n)
+        y = y[..., : qt.n]
     return y
 
 

@@ -318,6 +318,30 @@ def pack_gguf_tensor(
     )
 
 
+def pad_qtensor_n(qt: QTensor, multiple: int = 512) -> QTensor:
+    """Zero-pad the output (N) axis so the matmul kernels can use wide lane
+    tiles. The 128k-vocab LM head (N=128256) only divides 128/256, leaving
+    ~1000 grid cells per call; padding to a 512-multiple nearly halves its
+    kernel wall time on v5e (qmm_probe2: 660 -> 438 us). `qt.n` stays the
+    LOGICAL width — ops.qmatmul slices the padded columns off the output.
+    Padded scales/mins are zero so the padded region dequantizes to exactly
+    0 (and is sliced away regardless). numpy leaves only (load-time path);
+    no-op for sectioned containers and TP-marked weights (per-shard widths
+    would stop dividing)."""
+    n_phys = qt.qs.shape[-1]
+    pad = (-n_phys) % multiple
+    if pad == 0 or qt.sections != 1 or qt.tp_mode is not None:
+        return qt
+
+    def padn(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+    return qt.replace(qs=padn(qt.qs), scales=padn(qt.scales), mins=padn(qt.mins))
+
+
 def promote_qtensor(
     qt: QTensor, kind: str, group: int, with_mins: bool
 ) -> QTensor:
@@ -440,6 +464,8 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         w = q * scales  # high-half scales are pre-divided by 16
     if qt.mins is not None:
         w = w - jnp.repeat(qt.mins, qt.group, axis=0)
+    if w.shape[-1] != qt.n:  # N-padded container (pad_qtensor_n)
+        w = w[..., : qt.n]
     return w.astype(dtype)
 
 

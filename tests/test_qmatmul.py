@@ -100,3 +100,40 @@ def test_unsupported_kind_raises(rng):
     raw = quantize(w, GGMLType.Q5_0)
     with pytest.raises(KeyError):
         pack_gguf_tensor(raw, GGMLType.Q5_0, (8, 256))
+
+
+def test_padded_qtensor_matches_unpadded():
+    """N-padded containers (pad_qtensor_n, used for the 128k LM head) must
+    produce identical logical outputs through both the kernel and fallback
+    paths."""
+    import numpy as np
+
+    from nfai_tpu.ops.qmatmul import qmatmul
+    from nfai_tpu.ops.qtensor import QTensor, dequant_qtensor, pad_qtensor_n
+
+    rng = np.random.default_rng(0)
+    k, n = 512, 384  # n % 512 != 0 -> pads to 512
+    qs = rng.integers(-128, 128, (k // 2, n), dtype=np.int8)
+    scales = (rng.random((k // 32, n)) * 0.01).astype(np.float32)
+    mins = (rng.random((k // 32, n)) * 0.01).astype(np.float32)
+    qt = QTensor(jnp.asarray(qs), jnp.asarray(scales), jnp.asarray(mins),
+                 "q4", k, n)
+    padded = pad_qtensor_n(qt.replace(qs=qs, scales=scales, mins=mins), 512)
+    assert padded.qs.shape[-1] == 512 and padded.n == n
+    padded = padded.replace(
+        qs=jnp.asarray(padded.qs),
+        scales=jnp.asarray(padded.scales),
+        mins=jnp.asarray(padded.mins),
+    )
+
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.bfloat16)
+    ref = np.asarray(qmatmul(x, qt, use_kernel=False), np.float32)
+    scale = np.abs(ref).max()
+    for use_kernel in (False, True):
+        out = np.asarray(qmatmul(x, padded, use_kernel=use_kernel), np.float32)
+        assert out.shape == (4, n)
+        # bf16 output has ~2^-8 ulps: one ulp at max|y| is ~4e-3 relative;
+        # allow a couple (different tile reduction orders round differently)
+        assert np.abs(out - ref).max() / scale < 1e-2
+    # dense dequant view also returns the logical width
+    assert dequant_qtensor(padded).shape == (k, n)

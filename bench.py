@@ -43,6 +43,12 @@ def main() -> int:
     p.add_argument("--quant", default="q4", choices=["none", "q8_0", "q4"],
                    help="weights quantized in HBM (fused dequant kernels); "
                         "the BASELINE headline config is Llama-3.2 Q4_K")
+    p.add_argument("--mins-bf16", action="store_true",
+                   help="store the mins arrays bf16 (diagnostic: halves the "
+                        "array XLA stages into alternate memory per layer)")
+    p.add_argument("--no-mins", action="store_true",
+                   help="synthetic q4 without the affine mins arrays "
+                        "(Q4_0-style symmetric; isolates the mins-term cost)")
     p.add_argument("--vocab", type=int, default=0, help="override vocab size")
     p.add_argument("--hbm-gbps", type=float, default=819.0,
                    help="chip HBM bandwidth for the roofline (v5e: 819)")
@@ -108,7 +114,9 @@ def main() -> int:
         qs = jax.random.randint(
             next(kiter), (*lead, k // 2, np_), -128, 128, jnp.int32
         ).astype(jnp.int8)
-        mins = scales * 8.0
+        mins = None if args.no_mins else scales * 8.0
+        if mins is not None and args.mins_bf16:
+            mins = mins.astype(jnp.bfloat16)
         return QTensor(qs, scales, mins, "q4", k, n)
 
     qd, kvd = heads * head_dim, kv_heads * head_dim

@@ -74,13 +74,20 @@ def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
     # (b = batch*chunk rows) steps down automatically.
     budget = 12 << 20
     nprefs = (1024, 512, 256, 128) if n <= 16384 else (512, 256, 128)
-    for tn in nprefs:
-        if n % tn:
+    kprefs = (1024, 512, 256)  # tk >= 256 keeps the scale block's sublane
+    # count a multiple of 8 (group 32); the fallback below preserves the old
+    # small-shape paths. Decode (small b) wants TN-major (fewer grid cells
+    # along the wide N); prefill (b = batch*chunk rows) wants TK-major
+    # (deeper reduction per cell — it is MXU-bound, not bubble-bound).
+    outer, inner, swap = (
+        (nprefs, kprefs, False) if b <= 64 else (kprefs, nprefs, True)
+    )
+    for t_out in outer:
+        if (k if swap else n) % t_out:
             continue
-        # tk >= 256 keeps the scale block's sublane count a multiple of 8
-        # (group 32); the fallback below preserves the old small-shape paths
-        for tk in (1024, 512, 256):
-            if k % tk:
+        for t_in in inner:
+            tk, tn = (t_out, t_in) if swap else (t_in, t_out)
+            if n % tn or k % tk:
                 continue
             if 6 * tk * tn + 8 * b * tk + 6 * b * tn <= budget:
                 return tk, tn
@@ -324,22 +331,30 @@ def _q8l_kernel(lref, x_ref, bs_ref, qs_ref, sc_ref, mins_ref, o_ref, acc_ref,
     acc_ref[...] += jax.lax.dot(
         x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
+    if mins_ref is not None:
+        # per-k-tile mins term: acc -= bsums_tile^T @ mins_tile. The mins
+        # block MUST be tiled like the scales: a whole-K column block made
+        # XLA's memory-space assignment re-stage the full stacked mins array
+        # into alternate memory EVERY layer iteration (1.8 ms/step of async
+        # copies on the 1B q4 profile, serializing against w_down's DMA).
+        # bsums ride transposed [K/g, B] so the k-block axis tiles on
+        # sublanes (a (B, kb) block would put kb on the lane axis, which
+        # Mosaic only allows at 128-multiples or the full dim).
+        acc_ref[...] -= jax.lax.dot_general(
+            bs_ref[...],
+            mins_ref[...].astype(jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
-        if mins_ref is not None:
-            # whole-K mins column block, applied once: acc -= bsums @ mins
-            acc_ref[...] -= jax.lax.dot(
-                bs_ref[...],
-                mins_ref[...].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _q4l_kernel(
-    lref, x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_lo_ref,
-    sc_hi_ref, mins_ref, o_ref, acc_ref,
+    lref, x_lo_ref, x_hi_ref, bs_lo_ref, bs_hi_ref, qs_ref, sc_lo_ref,
+    sc_hi_ref, mins_lo_ref, mins_hi_ref, o_ref, acc_ref,
 ):
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -358,15 +373,24 @@ def _q4l_kernel(
         x_hi_ref[...].astype(jnp.bfloat16), w_hi,
         preferred_element_type=jnp.float32,
     )
+    if mins_lo_ref is not None:
+        # per-k-tile mins term, bsums transposed [K/g, B] (see _q8l_kernel
+        # for why this is NOT a whole-K column block)
+        acc_ref[...] -= jax.lax.dot_general(
+            bs_lo_ref[...],
+            mins_lo_ref[...].astype(jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] -= jax.lax.dot_general(
+            bs_hi_ref[...],
+            mins_hi_ref[...].astype(jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
-        if mins_ref is not None:
-            acc_ref[...] -= jax.lax.dot(
-                bs_ref[...],
-                mins_ref[...].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
@@ -380,23 +404,28 @@ def _q8_matmul_layered(x, layer, qs, scales, mins=None,
     grid = (n // tn, k // tk)
     kb = tk // group
     has_mins = mins is not None
-    bsums = (
-        jnp.sum(x.astype(jnp.float32).reshape(b, k // group, group), axis=-1)
+    # transposed [K/g, B]: the k-block axis tiles on sublanes (see kernel)
+    bsums_t = (
+        jnp.sum(
+            x.astype(jnp.float32).reshape(b, k // group, group), axis=-1
+        ).T
         if has_mins
-        else jnp.zeros((b, 8), jnp.float32)
+        else jnp.zeros((8, b), jnp.float32)
     )
     specs = [
         pl.BlockSpec((b, tk), lambda j, kk, lr: (0, kk)),
-        # full activation block-sums in one block (tiny; mins dot runs once)
-        pl.BlockSpec(bsums.shape, lambda j, kk, lr: (0, 0)),
+        # activation block-sums, tiled along K like the scales
+        pl.BlockSpec((kb, b) if has_mins else bsums_t.shape,
+                     (lambda j, kk, lr: (kk, 0)) if has_mins
+                     else (lambda j, kk, lr: (0, 0))),
         pl.BlockSpec((None, tk, tn), lambda j, kk, lr: (lr[0], kk, j)),
         pl.BlockSpec((None, kb, tn), lambda j, kk, lr: (lr[0], kk, j)),
     ]
-    args = [jnp.asarray(layer, jnp.int32).reshape(1), x, bsums, qs, scales]
+    args = [jnp.asarray(layer, jnp.int32).reshape(1), x, bsums_t, qs, scales]
     if has_mins:
-        # whole-K mins column block (constant over kk -> fetched once per j)
+        # per-k-tile mins blocks, same shape/index map as the scales
         specs.append(
-            pl.BlockSpec((None, k // group, tn), lambda j, kk, lr: (lr[0], 0, j))
+            pl.BlockSpec((None, kb, tn), lambda j, kk, lr: (lr[0], kk, j))
         )
         args.append(mins)
         kernel = functools.partial(_q8l_kernel, group=group)
@@ -438,35 +467,52 @@ def _q4_matmul_layered(x, layer, qs, scales, mins=None, out_dtype=jnp.bfloat16):
     grid = (n // tn, nk)
     kb = tkb // QBLOCK
     has_mins = mins is not None
-    bsums = (
-        jnp.sum(x.astype(jnp.float32).reshape(b, k // QBLOCK, QBLOCK), axis=-1)
+    # transposed [K/32, B]: the k-block axis tiles on sublanes (see kernel)
+    bsums_t = (
+        jnp.sum(
+            x.astype(jnp.float32).reshape(b, k // QBLOCK, QBLOCK), axis=-1
+        ).T
         if has_mins
-        else jnp.zeros((b, 8), jnp.float32)
+        else jnp.zeros((8, b), jnp.float32)
+    )
+    bs_spec_lo = pl.BlockSpec(
+        (kb, b) if has_mins else bsums_t.shape,
+        (lambda j, kk, lr: (kk, 0)) if has_mins else (lambda j, kk, lr: (0, 0)),
+    )
+    bs_spec_hi = pl.BlockSpec(
+        (kb, b) if has_mins else bsums_t.shape,
+        (lambda j, kk, lr, nk=nk: (kk + nk, 0)) if has_mins
+        else (lambda j, kk, lr: (0, 0)),
     )
     specs = [
         pl.BlockSpec((b, tkb), lambda j, kk, lr: (0, kk)),
         pl.BlockSpec((b, tkb), lambda j, kk, lr, nk=nk: (0, kk + nk)),
-        pl.BlockSpec(bsums.shape, lambda j, kk, lr: (0, 0)),
+        bs_spec_lo,
+        bs_spec_hi,
         pl.BlockSpec((None, tkb, tn), lambda j, kk, lr: (lr[0], kk, j)),
         pl.BlockSpec((None, kb, tn), lambda j, kk, lr: (lr[0], kk, j)),
         pl.BlockSpec((None, kb, tn), lambda j, kk, lr, nk=nk: (lr[0], kk + nk, j)),
     ]
     args = [
         jnp.asarray(layer, jnp.int32).reshape(1),
-        x, x, bsums, qs, scales, scales,
+        x, x, bsums_t, bsums_t, qs, scales, scales,
     ]
     if has_mins:
-        # mins rows are ordered lo-half then hi-half along K/32 — matching
-        # bsums' natural k order, so one whole-K column block works
+        # per-k-tile mins blocks: lo half at kk, hi half at kk + nk (the
+        # mins rows are in natural k order — lo rows then hi rows)
         specs.append(
-            pl.BlockSpec((None, k // QBLOCK, tn), lambda j, kk, lr: (lr[0], 0, j))
+            pl.BlockSpec((None, kb, tn), lambda j, kk, lr: (lr[0], kk, j))
         )
-        args.append(mins)
+        specs.append(
+            pl.BlockSpec((None, kb, tn), lambda j, kk, lr, nk=nk: (lr[0], kk + nk, j))
+        )
+        args += [mins, mins]
         kernel = _q4l_kernel
     else:
-        def kernel(lref, xlo, xhi, bs, qs_r, sclo, schi, o, acc):
+        def kernel(lref, xlo, xhi, bslo, bshi, qs_r, sclo, schi, o, acc):
             return _q4l_kernel(
-                lref, xlo, xhi, bs, qs_r, sclo, schi, None, o, acc,
+                lref, xlo, xhi, bslo, bshi, qs_r, sclo, schi, None, None,
+                o, acc,
             )
     return pl.pallas_call(
         kernel,

@@ -16,6 +16,10 @@ class SamplingParams:
     temperature: float = 0.5
     top_k: int = 40
     top_p: float = 0.95
+    min_p: float = 0.0  # drop tokens with prob < min_p * max_prob
+    presence_penalty: float = 0.0  # OpenAI-style, over output tokens
+    frequency_penalty: float = 0.0
+    logit_bias: tuple[tuple[int, float], ...] = ()  # (token_id, bias) pairs
     seed: int | None = None
     max_new_tokens: int = 512
     stop: tuple[str, ...] = ()  # stop strings (checked on the decoded text)
@@ -23,6 +27,10 @@ class SamplingParams:
     @property
     def greedy(self) -> bool:
         return self.temperature <= 0.0
+
+    @property
+    def has_penalties(self) -> bool:
+        return bool(self.presence_penalty or self.frequency_penalty)
 
 
 @dataclass(frozen=True)

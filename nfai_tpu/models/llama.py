@@ -52,11 +52,37 @@ class LlamaConfig:
     rope_neox: bool = False  # ggml NEOX rope (qwen2/3, gemma) vs NORM (llama)
     activation: str = "silu"  # MLP gate activation ("silu" | "gelu")
     embed_scale: float = 1.0  # gemma multiplies embeddings by sqrt(hidden)
+    # gemma2/3 extensions
+    attn_softcap: float = 0.0  # gemma2: scores = cap*tanh(scores/cap)
+    final_softcap: float = 0.0  # gemma2: same cap on the LM-head logits
+    sliding_window: int = 0  # local-attention window (gemma2/3)
+    swa_pattern: int = 0  # layer i is LOCAL iff (i+1) % pattern != 0
+    post_norms: bool = False  # gemma2/3 post_attention/post_ffw rmsnorms
+    attn_scale: float = 0.0  # 0 -> 1/sqrt(head_dim); gemma2 uses
+    # 1/sqrt(hidden/n_heads) (query_pre_attn_scalar)
+    rope_base_local: float = 0.0  # gemma3 local layers' rope base (10k)
     # mixture-of-experts (qwen3moe): 0 experts = dense FFN
     n_experts: int = 0
     n_experts_used: int = 0
     moe_ffn_dim: int = 0
     norm_topk_prob: bool = True
+
+    def layer_is_local(self, i: int) -> bool:
+        """Sliding-window (local) layer per llama.cpp's swa_pattern: every
+        `pattern`-th layer is global, the rest are local (gemma2: 2,
+        gemma3: 6)."""
+        return self.swa_pattern > 0 and (i + 1) % self.swa_pattern != 0
+
+    def layer_windows(self) -> list[int]:
+        """Per-layer attention window (0 = unlimited)."""
+        return [
+            self.sliding_window if self.layer_is_local(i) else 0
+            for i in range(self.n_layers)
+        ]
+
+    @property
+    def query_scale(self) -> float:
+        return self.attn_scale or 1.0 / (self.head_dim**0.5)
 
     @classmethod
     def from_gguf(cls, g: GGUFFile) -> "LlamaConfig":
@@ -100,9 +126,37 @@ class LlamaConfig:
             # ggml rope type is per-architecture: llama/mistral GGUFs carry
             # the HF->ggml permutation (NORM, adjacent pairs); qwen-family,
             # gemma, and phi3 checkpoints are unpermuted (NEOX, half-split)
-            rope_neox=arch in ("qwen2", "qwen3", "gemma", "phi3", "qwen3moe"),
-            activation="gelu" if arch == "gemma" else "silu",
-            embed_scale=float(hidden) ** 0.5 if arch == "gemma" else 1.0,
+            rope_neox=arch in (
+                "qwen2", "qwen3", "gemma", "gemma2", "gemma3", "phi3",
+                "qwen3moe",
+            ),
+            activation="gelu" if arch.startswith("gemma") else "silu",
+            embed_scale=(
+                float(hidden) ** 0.5 if arch.startswith("gemma") else 1.0
+            ),
+            # gemma2: tanh softcaps + alternating sliding window + post
+            # norms + query_pre_attn_scalar = hidden/n_heads;
+            # gemma3: 5-local:1-global window pattern, dual rope bases
+            # (local layers 10k), qk-norm, no softcaps
+            attn_softcap=float(key("{arch}.attn_logit_softcapping", 0.0) or 0.0),
+            final_softcap=float(
+                key("{arch}.final_logit_softcapping", 0.0) or 0.0
+            ),
+            sliding_window=(
+                int(key("{arch}.attention.sliding_window", 0) or 0)
+                if arch in ("gemma2", "gemma3")
+                else 0
+            ),
+            swa_pattern={"gemma2": 2, "gemma3": 6}.get(arch, 0),
+            post_norms="blk.0.post_attention_norm.weight" in g.tensors,
+            attn_scale=(
+                (float(hidden) / n_heads) ** -0.5 if arch == "gemma2" else 0.0
+            ),
+            rope_base_local=(
+                float(key("{arch}.rope.freq_base_swa", 10000.0) or 10000.0)
+                if arch == "gemma3"
+                else 0.0
+            ),
             n_experts=n_experts,
             n_experts_used=int(key(Keys.EXPERT_USED_COUNT, 0) or 0),
             moe_ffn_dim=int(
@@ -165,6 +219,10 @@ _OPTIONAL_LAYER_TENSORS = {
     "wv_bias": ("blk.{i}.attn_v.bias", "attn_bias"),
     "q_norm": ("blk.{i}.attn_q_norm.weight", "qk_norm"),
     "k_norm": ("blk.{i}.attn_k_norm.weight", "qk_norm"),
+    # gemma2/3 post-block norms (applied to the sub-block output BEFORE the
+    # residual add; the GGUF converter folds the +1 into the weights)
+    "post_attn_norm": ("blk.{i}.post_attention_norm.weight", "post_norms"),
+    "post_ffw_norm": ("blk.{i}.post_ffw_norm.weight", "post_norms"),
 }
 
 
@@ -437,13 +495,20 @@ def load_params(
             cfg.rope_high_freq_factor,
             cfg.rope_original_ctx,
         )
-    return {
+    out = {
         "embed": put("embed", embed),
         "layers": stacked,
         "final_norm": put("final_norm", g.tensor_f32("output_norm.weight").astype(np.float32)),
         "lm_head": put("lm_head", lm_head),
         "inv_freq": put("inv_freq", inv_freq),
     }
+    if cfg.rope_base_local:
+        # gemma3: local (sliding-window) layers rope with their own base,
+        # WITHOUT the global layers' linear scaling
+        out["inv_freq_local"] = put(
+            "inv_freq_local", compute_inv_freq(cfg.head_dim, cfg.rope_base_local)
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +529,10 @@ def _cached_attention(
     k_cache: jax.Array,  # [B, S, KVD] merged-lane (KVD = Hkv*D, head-major)
     v_cache: jax.Array,  # [B, S, KVD]
     positions: jax.Array,  # [B, T] absolute positions of q tokens
+    *,
+    scale: float | None = None,
+    softcap: float = 0.0,  # gemma2 tanh score capping
+    window: jax.Array | int = 0,  # sliding window (0 = unlimited; traced ok)
 ) -> jax.Array:
     """Attention of new tokens against the (just-updated) cache.
 
@@ -505,9 +574,13 @@ def _cached_attention(
             t_block=t if t <= 256 else 256,
             s_block=128 if s % 512 else 512,
             interpret=jax.default_backend() == "cpu",
+            scale=scale,
+            softcap=softcap,
+            window=window,
         ).astype(q.dtype)
     n_rep = hq // hkv
-    scale = 1.0 / (d**0.5)
+    if scale is None:
+        scale = 1.0 / (d**0.5)
     qg = q.reshape(b, t, hkv, n_rep, d)
     k5 = k_cache.reshape(b, s, hkv, d)
     v5 = v_cache.reshape(b, s, hkv, d)
@@ -515,7 +588,12 @@ def _cached_attention(
         "bthrd,bshd->bhrts", qg, k5, preferred_element_type=jnp.float32
     )
     logits = logits * scale
-    mask = jnp.arange(s)[None, None, :] <= positions[:, :, None]  # [B,T,S]
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    span = jnp.arange(s)[None, None, :]
+    mask = span <= positions[:, :, None]  # [B,T,S]
+    win = jnp.asarray(window, jnp.int32)
+    mask &= (win == 0) | (span > positions[:, :, None] - win)
     logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(v_cache.dtype)
     out = jnp.einsum("bhrts,bshd->bthrd", weights, v5)
@@ -537,6 +615,10 @@ def _paged_attention(
     v_pages: jax.Array,
     tables: jax.Array,  # [B, NP]
     positions: jax.Array,  # [B, T]
+    *,
+    scale: float | None = None,
+    softcap: float = 0.0,
+    window: jax.Array | int = 0,
 ) -> jax.Array:
     """Attention of new tokens against paged KV (already written).
 
@@ -555,11 +637,16 @@ def _paged_attention(
             tables,
             positions[:, 0] + 1,
             interpret=jax.default_backend() == "cpu",
+            scale=scale,
+            softcap=softcap,
+            window=window,
         )
         return out[:, None].astype(q.dtype)
     kd = _gather_pages(k_pages, tables)
     vd = _gather_pages(v_pages, tables)
-    return _cached_attention(q, kd, vd, positions)
+    return _cached_attention(
+        q, kd, vd, positions, scale=scale, softcap=softcap, window=window
+    )
 
 
 def _write_cache(
@@ -645,25 +732,37 @@ def _decode_forward_fused(
     if cfg.embed_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.embed_scale).astype(activation_dtype)
     cos, sin = rope_cos_sin(positions, params["inv_freq"])
+    if "inv_freq_local" in params:  # gemma3 dual rope bases
+        cos_l, sin_l = rope_cos_sin(positions, params["inv_freq_local"])
     starts = positions[:, 0]
     layers = params["layers"]
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
     s = cache.max_seq
     s_block = 256 if s % 256 == 0 else 128
+    windows = jnp.asarray(cfg.layer_windows(), jnp.int32)
+    is_local = jnp.asarray(
+        [cfg.layer_is_local(i) for i in range(cfg.n_layers)], jnp.bool_
+    )
 
     # small per-layer tensors ride the scan as xs (cheap XLA slices); the
     # big weights are closed over and indexed inside the kernels
     small_keys = [
         k for k in (
             "attn_norm", "ffn_norm", "q_norm", "k_norm",
+            "post_attn_norm", "post_ffw_norm",
             "wqkv_bias", "wq_bias", "wk_bias", "wv_bias",
         ) if k in layers
     ]
     smalls = {k: layers[k] for k in small_keys}
 
     def layer_step(h, xs):
-        lidx, sm = xs
+        lidx, sm, win, local = xs
+        if "inv_freq_local" in params:
+            lcos = jnp.where(local, cos_l, cos)
+            lsin = jnp.where(local, sin_l, sin)
+        else:
+            lcos, lsin = cos, sin
         x = rms_norm(h, sm["attn_norm"], cfg.rms_eps)
         if "wqkv" in layers:
             qkv = linear_layered(x, layers["wqkv"], lidx)
@@ -686,18 +785,21 @@ def _decode_forward_fused(
         if cfg.qk_norm:
             q = rms_norm(q, sm["q_norm"], cfg.rms_eps)
             k = rms_norm(k, sm["k_norm"], cfg.rms_eps)
-        q = apply_rope_cs(q, cos, sin, neox=True)
-        k = apply_rope_cs(k, cos, sin, neox=True)
+        q = apply_rope_cs(q, lcos, lsin, neox=True)
+        k = apply_rope_cs(k, lcos, lsin, neox=True)
         kn = k[:, 0].reshape(b, kvd)  # merged-lane new rows [B, KVD]
         vn = v[:, 0].reshape(b, kvd)
         attn = layered_decode_attention(
             q[:, 0], kn, vn, cache.k, cache.v, lidx, starts,
             s_block=s_block, interpret=interp,
+            scale=cfg.query_scale, softcap=cfg.attn_softcap,
+            window=win if cfg.swa_pattern else 0,
         )
         attn = attn.reshape(b, 1, qd)
-        h = (h + linear_layered(attn, layers["wo"], lidx)).astype(
-            activation_dtype
-        )
+        attn_out = linear_layered(attn, layers["wo"], lidx)
+        if cfg.post_norms:
+            attn_out = rms_norm(attn_out, sm["post_attn_norm"], cfg.rms_eps)
+        h = (h + attn_out).astype(activation_dtype)
         x = rms_norm(h, sm["ffn_norm"], cfg.rms_eps)
         act = jax.nn.silu if cfg.activation == "silu" else partial(
             jax.nn.gelu, approximate=True
@@ -714,13 +816,15 @@ def _decode_forward_fused(
                 linear_layered(x, layers["w_up"], lidx)
             )
             ffn_out = linear_layered(gated, layers["w_down"], lidx)
+        if cfg.post_norms:
+            ffn_out = rms_norm(ffn_out, sm["post_ffw_norm"], cfg.rms_eps)
         h = (h + ffn_out).astype(activation_dtype)
         return h, (kn, vn)
 
     h, (k_rows, v_rows) = jax.lax.scan(
         layer_step,
         h,
-        (jnp.arange(cfg.n_layers, dtype=jnp.int32), smalls),
+        (jnp.arange(cfg.n_layers, dtype=jnp.int32), smalls, windows, is_local),
     )
     new_k = write_all_layers(cache.k, k_rows, starts, interpret=interp)
     new_v = write_all_layers(cache.v, v_rows, starts, interpret=interp)
@@ -775,12 +879,26 @@ def forward(
         h = (h.astype(jnp.float32) * cfg.embed_scale).astype(activation_dtype)
     # rope angles are identical in every layer: compute cos/sin once per step
     # (load_params converts NORM checkpoints to the NEOX layout, so rotation
-    # is always the shuffle-free half-split form — see ops.rope)
+    # is always the shuffle-free half-split form — see ops.rope). gemma3
+    # additionally ropes its local (sliding-window) layers with a second
+    # base, selected per layer inside the scan.
     cos, sin = rope_cos_sin(positions, params["inv_freq"])
+    if "inv_freq_local" in params:
+        cos_l, sin_l = rope_cos_sin(positions, params["inv_freq_local"])
     starts = positions[:, 0]
+    # per-layer sliding window (0 = unlimited) rides the scan as xs
+    windows = jnp.asarray(cfg.layer_windows(), jnp.int32)
+    is_local = jnp.asarray(
+        [cfg.layer_is_local(i) for i in range(cfg.n_layers)], jnp.bool_
+    )
 
     def layer_step(h, layer_in):
-        lp, k_cache_l, v_cache_l = layer_in
+        lp, k_cache_l, v_cache_l, win, local = layer_in
+        if "inv_freq_local" in params:
+            lcos = jnp.where(local, cos_l, cos)
+            lsin = jnp.where(local, sin_l, sin)
+        else:
+            lcos, lsin = cos, sin
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
         qd = cfg.n_heads * cfg.head_dim
         kvd = cfg.n_kv_heads * cfg.head_dim
@@ -805,15 +923,22 @@ def forward(
         if cfg.qk_norm:
             q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        q = apply_rope_cs(q, cos, sin, neox=True)
-        k = apply_rope_cs(k, cos, sin, neox=True)
+        q = apply_rope_cs(q, lcos, lsin, neox=True)
+        k = apply_rope_cs(k, lcos, lsin, neox=True)
+        attn_kw = dict(
+            scale=cfg.query_scale,
+            softcap=cfg.attn_softcap,
+            # static 0 when the model has no sliding window: the kernels
+            # compile the window logic out entirely
+            window=win if cfg.swa_pattern else 0,
+        )
         if page_tables is not None:
             from ..runtime.paged_cache import write_paged
 
             k_cache_l = write_paged(k_cache_l, k, page_tables, positions)
             v_cache_l = write_paged(v_cache_l, v, page_tables, positions)
             attn = _paged_attention(
-                q, k_cache_l, v_cache_l, page_tables, positions
+                q, k_cache_l, v_cache_l, page_tables, positions, **attn_kw
             )
         elif attend_len is not None and attend_len < k_cache_l.shape[1]:
             k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
@@ -823,13 +948,19 @@ def forward(
                 k_cache_l[:, :attend_len],
                 v_cache_l[:, :attend_len],
                 positions,
+                **attn_kw,
             )
         else:
             k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
             v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
-            attn = _cached_attention(q, k_cache_l, v_cache_l, positions)
+            attn = _cached_attention(
+                q, k_cache_l, v_cache_l, positions, **attn_kw
+            )
         attn = attn.reshape(b, t, cfg.n_heads * cfg.head_dim)
-        h = (h + linear(attn, lp["wo"])).astype(activation_dtype)
+        attn_out = linear(attn, lp["wo"])
+        if cfg.post_norms:
+            attn_out = rms_norm(attn_out, lp["post_attn_norm"], cfg.rms_eps)
+        h = (h + attn_out).astype(activation_dtype)
         x = rms_norm(h, lp["ffn_norm"], cfg.rms_eps)
         act = jax.nn.silu if cfg.activation == "silu" else partial(
             jax.nn.gelu, approximate=True
@@ -845,20 +976,28 @@ def forward(
         else:
             gated = act(linear(x, lp["w_gate"])) * linear(x, lp["w_up"])
             ffn_out = linear(gated, lp["w_down"])
+        if cfg.post_norms:
+            ffn_out = rms_norm(ffn_out, lp["post_ffw_norm"], cfg.rms_eps)
         h = (h + ffn_out).astype(activation_dtype)
         return h, (k_cache_l, v_cache_l)
 
     h, (new_k, new_v) = jax.lax.scan(
-        layer_step, h, (params["layers"], cache.k, cache.v)
+        layer_step, h, (params["layers"], cache.k, cache.v, windows, is_local)
     )
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     return h, type(cache)(new_k, new_v)
 
 
-def logits_for(params: dict, hidden: jax.Array) -> jax.Array:
+def logits_for(
+    params: dict, hidden: jax.Array, cfg: LlamaConfig | None = None
+) -> jax.Array:
     """LM head (tied to embeddings when output.weight is absent,
-    reference: LlamaModel.cs:64-67)."""
-    return linear(hidden, params["lm_head"]).astype(jnp.float32)
+    reference: LlamaModel.cs:64-67). Applies gemma2's final logit softcap
+    when `cfg` carries one."""
+    logits = linear(hidden, params["lm_head"]).astype(jnp.float32)
+    if cfg is not None and cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits
 
 
 @partial(
@@ -879,7 +1018,7 @@ def prefill_step(
     batched MXU-friendly call and the LM head runs once."""
     h, cache = forward(params, cfg, tokens, positions, cache, attend_len=attend_len)
     h_last = jnp.take_along_axis(h, last_index[:, None, None], axis=1)  # [B,1,H]
-    return logits_for(params, h_last)[:, 0, :], cache
+    return logits_for(params, h_last, cfg)[:, 0, :], cache
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -892,7 +1031,7 @@ def decode_step(
 ) -> tuple[jax.Array, KVCache]:
     """One decode token for every sequence in the batch; returns [B, V] logits."""
     h, cache = forward(params, cfg, tokens[:, None], positions[:, None], cache)
-    return logits_for(params, h)[:, 0, :], cache
+    return logits_for(params, h, cfg)[:, 0, :], cache
 
 
 @partial(
@@ -914,22 +1053,44 @@ def decode_loop(
     uniform_start: bool = True,
     active: jax.Array | None = None,  # [B] bool; inactive slots emit pad
     top_k_rows: jax.Array | None = None,  # [B] per-row top-k within top_k
-) -> tuple[jax.Array, jax.Array, KVCache, jax.Array]:
+    min_p: jax.Array | float = 0.0,  # per-row min-p floor
+    bias_ids: jax.Array | None = None,  # [B, W] logit-bias token ids
+    bias_vals: jax.Array | None = None,  # [B, W] additive biases
+    presence: jax.Array | float | None = None,  # [B] presence penalty
+    frequency: jax.Array | float | None = None,  # [B] frequency penalty
+    counts: jax.Array | None = None,  # [B, V] int32 output-token counts
+) -> tuple:
     """Generate `n_steps` tokens fully on device (no host sync per token).
 
-    Returns (tokens [B, n_steps], next_tokens [B], cache, key). The emitted
-    tokens all have their K/V written; `next_tokens` is sampled but not yet
-    fed through the model. The host checks EOS between chunks — one sync per
-    `n_steps` tokens instead of per token.
+    Returns (tokens [B, n_steps], next_tokens [B], cache, key) — plus the
+    updated `counts` when penalties are active (pass `counts` to enable
+    presence/frequency penalties; they count OUTPUT tokens, vLLM semantics).
+    The emitted tokens all have their K/V written; `next_tokens` is sampled
+    but not yet fed through the model. The host checks EOS between chunks —
+    one sync per `n_steps` tokens instead of per token.
     """
-    from ..ops.sampling import sample_logits
+    from ..ops.sampling import apply_logit_bias, apply_penalties, sample_logits
+
+    use_counts = counts is not None
 
     def body(carry, _):
-        tok, pos, cache, key = carry
+        if use_counts:
+            tok, pos, cache, key, cnt = carry
+        else:
+            tok, pos, cache, key = carry
+            cnt = None
         logits, cache = _decode_one(params, cfg, tok, pos, cache, uniform_start)
+        if bias_ids is not None:
+            logits = apply_logit_bias(logits, bias_ids, bias_vals)
+        if use_counts:
+            logits = apply_penalties(
+                logits, cnt,
+                0.0 if presence is None else presence,
+                0.0 if frequency is None else frequency,
+            )
         key, sub = jax.random.split(key)
         nxt = sample_logits(
-            logits, sub, temperature, top_k, top_p, top_k_rows
+            logits, sub, temperature, top_k, top_p, top_k_rows, min_p
         ).astype(tok.dtype)
         if active is not None:
             # frozen slots keep emitting their token and never advance
@@ -937,8 +1098,21 @@ def decode_loop(
             pos_next = jnp.where(active, pos + 1, pos)
         else:
             pos_next = pos + 1
+        if use_counts:
+            inc = (
+                active.astype(jnp.int32) if active is not None
+                else jnp.ones_like(nxt)
+            )
+            cnt = cnt.at[jnp.arange(nxt.shape[0]), nxt].add(inc)
+            return (nxt, pos_next, cache, key, cnt), tok
         return (nxt, pos_next, cache, key), tok
 
+    if use_counts:
+        (next_tok, _, cache, key, counts), toks = jax.lax.scan(
+            body, (first_tokens, start_pos, cache, key, counts),
+            length=n_steps,
+        )
+        return jnp.moveaxis(toks, 0, 1), next_tok, cache, key, counts
     (next_tok, _, cache, key), toks = jax.lax.scan(
         body, (first_tokens, start_pos, cache, key), length=n_steps
     )
@@ -950,7 +1124,7 @@ def _decode_one(params, cfg, tokens, positions, cache, uniform_start=True):
         params, cfg, tokens[:, None], positions[:, None], cache,
         uniform_start=uniform_start,
     )
-    return logits_for(params, h)[:, 0, :], cache
+    return logits_for(params, h, cfg)[:, 0, :], cache
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
@@ -975,7 +1149,7 @@ def prefill_slot_step(
         params, cfg, tokens, positions, KVCache(k_slot, v_slot)
     )
     h_last = jnp.take_along_axis(h, last_index[:, None, None], axis=1)
-    logits = logits_for(params, h_last)[:, 0, :]
+    logits = logits_for(params, h_last, cfg)[:, 0, :]
     k = jax.lax.dynamic_update_slice_in_dim(cache.k, slot_cache.k, slot, axis=1)
     v = jax.lax.dynamic_update_slice_in_dim(cache.v, slot_cache.v, slot, axis=1)
     return logits, KVCache(k, v)
@@ -999,7 +1173,7 @@ def paged_prefill_step(
         params, cfg, tokens, positions, cache, page_tables=tables
     )
     h_last = jnp.take_along_axis(h, last_index[:, None, None], axis=1)
-    return logits_for(params, h_last)[:, 0, :], cache
+    return logits_for(params, h_last, cfg)[:, 0, :], cache
 
 
 @partial(
@@ -1021,30 +1195,63 @@ def paged_decode_loop(
     top_p: jax.Array | float = 0.95,
     active: jax.Array | None = None,
     top_k_rows: jax.Array | None = None,
-) -> tuple[jax.Array, jax.Array, Any, jax.Array]:
+    min_p: jax.Array | float = 0.0,
+    bias_ids: jax.Array | None = None,
+    bias_vals: jax.Array | None = None,
+    presence: jax.Array | float | None = None,
+    frequency: jax.Array | float | None = None,
+    counts: jax.Array | None = None,
+) -> tuple:
     """`decode_loop` over the paged pool: same fused-chunk semantics, with
     KV writes scattered through the block tables and attention via the
-    block-table flash kernel."""
-    from ..ops.sampling import sample_logits
+    block-table flash kernel. Sampling extensions as in `decode_loop`."""
+    from ..ops.sampling import apply_logit_bias, apply_penalties, sample_logits
+
+    use_counts = counts is not None
 
     def body(carry, _):
-        tok, pos, cache, key = carry
+        if use_counts:
+            tok, pos, cache, key, cnt = carry
+        else:
+            tok, pos, cache, key = carry
+            cnt = None
         h, cache = forward(
             params, cfg, tok[:, None], pos[:, None], cache,
             page_tables=tables,
         )
-        logits = logits_for(params, h)[:, 0, :]
+        logits = logits_for(params, h, cfg)[:, 0, :]
+        if bias_ids is not None:
+            logits = apply_logit_bias(logits, bias_ids, bias_vals)
+        if use_counts:
+            logits = apply_penalties(
+                logits, cnt,
+                0.0 if presence is None else presence,
+                0.0 if frequency is None else frequency,
+            )
         key, sub = jax.random.split(key)
         nxt = sample_logits(
-            logits, sub, temperature, top_k, top_p, top_k_rows
+            logits, sub, temperature, top_k, top_p, top_k_rows, min_p
         ).astype(tok.dtype)
         if active is not None:
             nxt = jnp.where(active, nxt, tok)
             pos_next = jnp.where(active, pos + 1, pos)
         else:
             pos_next = pos + 1
+        if use_counts:
+            inc = (
+                active.astype(jnp.int32) if active is not None
+                else jnp.ones_like(nxt)
+            )
+            cnt = cnt.at[jnp.arange(nxt.shape[0]), nxt].add(inc)
+            return (nxt, pos_next, cache, key, cnt), tok
         return (nxt, pos_next, cache, key), tok
 
+    if use_counts:
+        (next_tok, _, cache, key, counts), toks = jax.lax.scan(
+            body, (first_tokens, start_pos, cache, key, counts),
+            length=n_steps,
+        )
+        return jnp.moveaxis(toks, 0, 1), next_tok, cache, key, counts
     (next_tok, _, cache, key), toks = jax.lax.scan(
         body, (first_tokens, start_pos, cache, key), length=n_steps
     )

@@ -52,13 +52,16 @@ def resolve(g: GGUFFile) -> ModelFamily:
 # architectures whose GGUF tensor schema is the llama layout, plus optional
 # per-arch extras handled by config flags (qwen2 attn biases, qwen3 q/k norms)
 LLAMA_LIKE_ARCHS = frozenset(
-    {"llama", "mistral", "qwen2", "qwen3", "gemma", "phi3", "qwen3moe"}
+    {
+        "llama", "mistral", "qwen2", "qwen3", "gemma", "gemma2", "gemma3",
+        "phi3", "qwen3moe",
+    }
 )
 
 
 @register_family(lambda g: g.architecture in LLAMA_LIKE_ARCHS)
 class LlamaFamily:
-    """Llama 2/3.x + Mistral + Qwen2/3 + Gemma dense models
+    """Llama 2/3.x + Mistral + Qwen2/3 + Gemma 1/2/3 dense models
     (reference scope was llama-only: LlamaModelFactory.cs:36-41)."""
 
     def config_from_gguf(self, g: GGUFFile):

@@ -86,6 +86,10 @@ def make_tiny_llama_gguf(
     spm_tokenizer: bool = False,  # llama-2-style SPM vocab instead of BPE
     n_experts: int = 0,  # qwen3moe-style MoE FFN
     n_experts_used: int = 0,
+    post_norms: bool = False,  # gemma2/3 post_attention/post_ffw norms
+    sliding_window: int = 0,  # gemma2/3 {arch}.attention.sliding_window
+    attn_softcap: float = 0.0,  # gemma2 softcaps
+    final_softcap: float = 0.0,
     seed: int = 0,
     scale: float = 0.05,
     quant_overrides: dict | None = None,  # tensor name -> GGMLType
@@ -113,6 +117,12 @@ def make_tiny_llama_gguf(
     w.add(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add(f"{arch}.rope.freq_base", rope_base)
     w.add(f"{arch}.vocab_size", vocab_size)
+    if sliding_window:
+        w.add(f"{arch}.attention.sliding_window", sliding_window)
+    if attn_softcap:
+        w.add(f"{arch}.attn_logit_softcapping", attn_softcap)
+    if final_softcap:
+        w.add(f"{arch}.final_logit_softcapping", final_softcap)
     if n_experts:
         w.add(f"{arch}.expert_count", n_experts)
         w.add(f"{arch}.expert_used_count", n_experts_used or 2)
@@ -159,6 +169,11 @@ def make_tiny_llama_gguf(
                 1.0 + rand(head_dim),
                 GGMLType.F32,
             )
+        if post_norms:
+            addw(f"blk.{i}.post_attention_norm.weight",
+                 (1.0 + rand(hidden)).astype(np.float32), GGMLType.F32)
+            addw(f"blk.{i}.post_ffw_norm.weight",
+                 (1.0 + rand(hidden)).astype(np.float32), GGMLType.F32)
         addw(f"blk.{i}.ffn_norm.weight", np.ones(hidden, np.float32), GGMLType.F32)
         if n_experts:
             addw(f"blk.{i}.ffn_gate_inp.weight", rand(n_experts, hidden), GGMLType.F32)

@@ -50,6 +50,7 @@ def _iota2(shape, dim):
 
 def _fused_kernel(
     layer_ref,  # scalar-prefetch [1] int32: layer index
+    win_ref,  # scalar-prefetch [1] int32: sliding window (0 = unlimited)
     starts_ref,  # scalar-prefetch [B] int32: old length per row
     q_ref,  # [Hq, D] this row's post-rope queries
     knew_ref,  # [1, KVD] post-rope new key row (merged heads)
@@ -67,9 +68,12 @@ def _fused_kernel(
     d: int,
     r: int,
     scale: float,
+    softcap: float,
+    windowed: bool,
 ):
     kk = pl.program_id(1)
     start = starts_ref[pl.program_id(0)]
+    win = win_ref[0]
     hq, kvd = acc_ref.shape
 
     @pl.when(kk == 0)
@@ -91,7 +95,15 @@ def _fused_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(kk * s_block < start)
+    # skip blocks past the row's length, and (sliding window) blocks fully
+    # behind the new token's window [start-win+1, start]. `windowed` is
+    # static: non-swa models compile none of the window logic (measured
+    # ~1% of decode otherwise).
+    relevant = kk * s_block < start
+    if windowed:
+        relevant &= (win == 0) | ((kk + 1) * s_block > start - win + 1)
+
+    @pl.when(relevant)
     def _():
         scores = jax.lax.dot_general(
             qbd_ref[...],
@@ -99,8 +111,13 @@ def _fused_kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Hq, BS] — exact per-head scores (cross-head terms hit zeros)
+        if softcap:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         span = kk * s_block + _iota2(scores.shape, 1)
-        scores = jnp.where(span < start, scores, NEG_INF)
+        visible = span < start
+        if windowed:
+            visible &= (win == 0) | (span > start - win)
+        scores = jnp.where(visible, scores, NEG_INF)
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
         corr = jnp.exp(m_prev - m_new)
@@ -127,6 +144,8 @@ def _fused_kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Hq, 1]
+        if softcap:
+            s_new = softcap * jnp.tanh(s_new * (1.0 / softcap))
         m_prev = m_ref[:, :1]
         m_fin = jnp.maximum(m_prev, s_new)
         corr = jnp.exp(m_prev - m_fin)
@@ -152,7 +171,9 @@ def _fused_kernel(
         o_ref[...] = (out / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("s_block", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("s_block", "interpret", "scale", "softcap")
+)
 def layered_decode_attention(
     q: jax.Array,  # [B, Hq, D] post-rope queries for the new token
     k_new: jax.Array,  # [B, KVD] post-rope new key row (merged heads)
@@ -163,6 +184,9 @@ def layered_decode_attention(
     starts: jax.Array,  # [B] int32: number of valid old tokens per row
     s_block: int = DEFAULT_S_BLOCK,
     interpret: bool = False,
+    scale: float | None = None,
+    softcap: float = 0.0,  # gemma2 tanh score cap (0 = off)
+    window: jax.Array | int = 0,  # sliding window (0 = unlimited; traced ok)
 ) -> jax.Array:
     """Returns attn [B, Hq, D] over cache[layer, b, :starts[b]] plus the new
     token. The caller is responsible for writing (k_new, v_new) into the
@@ -174,37 +198,51 @@ def layered_decode_attention(
     s_block = min(s_block, s)
     if s % s_block:
         raise ValueError(f"cache length {s} not divisible by s_block {s_block}")
-    scale = 1.0 / (d**0.5)
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    windowed = not (isinstance(window, int) and window == 0)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    win_arr = jnp.asarray(window, jnp.int32).reshape(1)
 
-    def stream_idx(bb, kk, lref, sref):
-        # clamp past-length blocks to the last valid one: consecutive equal
-        # indices skip the DMA re-fetch
+    def stream_idx(bb, kk, lref, wref, sref):
+        # clamp past-length blocks to the last valid one, and (sliding
+        # window) below-window blocks up to the first in-window one:
+        # consecutive equal indices skip the DMA re-fetch
         last = jnp.maximum(sref[bb] - 1, 0) // s_block
-        return (lref[0], bb, jnp.minimum(kk, last), 0)
+        kk2 = jnp.minimum(kk, last)
+        if windowed:
+            w = wref[0]
+            lo = jnp.where(
+                w > 0, jnp.maximum(sref[bb] - w + 1, 0) // s_block, 0
+            )
+            kk2 = jnp.clip(kk, lo, last)
+        return (lref[0], bb, kk2, 0)
 
     grid = (b, s // s_block)
     out = pl.pallas_call(
         functools.partial(
-            _fused_kernel, s_block=s_block, d=d, r=r, scale=scale
+            _fused_kernel, s_block=s_block, d=d, r=r, scale=scale,
+            softcap=softcap, windowed=windowed,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((None, hq, d), lambda bb, kk, lr, sr: (bb, 0, 0)),
                 pl.BlockSpec(
-                    (None, 1, kvd), lambda bb, kk, lr, sr: (bb, 0, 0)
+                    (None, hq, d), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
                 ),
                 pl.BlockSpec(
-                    (None, 1, kvd), lambda bb, kk, lr, sr: (bb, 0, 0)
+                    (None, 1, kvd), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (None, 1, kvd), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
                 ),
                 pl.BlockSpec((None, None, s_block, kvd), stream_idx),
                 pl.BlockSpec((None, None, s_block, kvd), stream_idx),
             ],
             out_specs=pl.BlockSpec(
-                (None, hq, d), lambda bb, kk, lr, sr: (bb, 0, 0)
+                (None, hq, d), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((hq, kvd), jnp.float32),
@@ -219,6 +257,7 @@ def layered_decode_attention(
         interpret=interpret,
     )(
         layer_arr,
+        win_arr,
         starts,
         q,
         k_new[:, None],
@@ -310,18 +349,29 @@ def layered_decode_reference(
     v_cache: jax.Array,
     layer,
     starts: jax.Array,
+    scale: float | None = None,
+    softcap: float = 0.0,
+    window: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """jnp reference with identical semantics incl. the row writes (tests)."""
     b, hq, d = q.shape
     l, _, s, kvd = k_cache.shape
     hkv = kvd // d
     r = hq // hkv
+    if scale is None:
+        scale = 1.0 / (d**0.5)
     kc = write_cache_rows(k_cache, k_new, layer, starts)
     vc = write_cache_rows(v_cache, v_new, layer, starts)
     qg = q.reshape(b, hkv, r, d).astype(jnp.float32)
     kf = kc[layer].reshape(b, s, hkv, d).astype(jnp.float32)
-    logits = jnp.einsum("bhrd,bshd->bhrs", qg, kf) / (d**0.5)
-    mask = jnp.arange(s)[None, None, None, :] <= starts[:, None, None, None]
+    logits = jnp.einsum("bhrd,bshd->bhrs", qg, kf) * scale
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    span = jnp.arange(s)[None, None, None, :]
+    st = starts[:, None, None, None]
+    mask = span <= st
+    if window:
+        mask &= span > st - window
     logits = jnp.where(mask, logits, NEG_INF)
     w = jax.nn.softmax(logits, axis=-1)
     vf = vc[layer].reshape(b, s, hkv, d).astype(jnp.float32)

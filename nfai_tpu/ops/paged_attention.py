@@ -29,6 +29,7 @@ DEFAULT_PAGE_SIZE = 128
 def _paged_kernel(
     tbl_ref,  # scalar-prefetch [B, max_pages] int32 page ids
     len_ref,  # SMEM [B] int32 valid lengths
+    win_ref,  # SMEM [1] int32 sliding window (0 = unlimited)
     q_ref,  # [R, D]
     k_ref,  # [page, D]
     v_ref,  # [page, D]
@@ -39,9 +40,13 @@ def _paged_kernel(
     *,
     page_size: int,
     scale: float,
+    softcap: float,
+    windowed: bool,
 ):
     kk = pl.program_id(2)
     length = len_ref[pl.program_id(0)]
+    win = win_ref[0]
+
 
     @pl.when(kk == 0)
     def _():
@@ -49,17 +54,28 @@ def _paged_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(kk * page_size < length)
+    relevant = kk * page_size < length
+    if windowed:
+        relevant &= (win == 0) | ((kk + 1) * page_size > length - win)
+
+    @pl.when(relevant)
     def _():
         q = q_ref[...].astype(jnp.float32)
         k = k_ref[...].astype(jnp.float32)
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [R, page]
+        if softcap:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         span = kk * page_size + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=1
         )
-        scores = jnp.where(span < length, scores, NEG_INF)
+        visible = span < length
+        if windowed:
+            # the newest token sits at span == length-1: window covers
+            # [length-win, length-1]
+            visible &= (win == 0) | (span >= length - win)
+        scores = jnp.where(visible, scores, NEG_INF)
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
         corr = jnp.exp(m_prev - m_new)
@@ -81,7 +97,9 @@ def _paged_kernel(
         o_ref[...] = (acc_ref[...] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "scale", "softcap")
+)
 def paged_flash_decode_attention(
     q: jax.Array,  # [B, Hq, D]
     k_pages: jax.Array,  # [Hkv, P, page, D]
@@ -89,6 +107,9 @@ def paged_flash_decode_attention(
     block_tables: jax.Array,  # [B, max_pages] int32 page ids
     lengths: jax.Array,  # [B] int32 valid tokens (current one included)
     interpret: bool = False,
+    scale: float | None = None,
+    softcap: float = 0.0,
+    window: jax.Array | int = 0,
 ) -> jax.Array:
     """Returns [B, Hq, D]; positions >= lengths masked; pages beyond the
     sequence's length are never fetched (`pl.when` block skip)."""
@@ -97,11 +118,17 @@ def paged_flash_decode_attention(
     max_pages = block_tables.shape[1]
     r = hq // hkv
     qg = q.reshape(b, hkv, r, d)
-    scale = 1.0 / (d**0.5)
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    windowed = not (isinstance(window, int) and window == 0)
+    win_arr = jnp.asarray(window, jnp.int32).reshape(1)
 
     grid = (b, hkv, max_pages)
     out = pl.pallas_call(
-        functools.partial(_paged_kernel, page_size=page_size, scale=scale),
+        functools.partial(
+            _paged_kernel, page_size=page_size, scale=scale, softcap=softcap,
+            windowed=windowed,
+        ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, r, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -109,6 +136,9 @@ def paged_flash_decode_attention(
             in_specs=[
                 pl.BlockSpec(
                     (b,), lambda bb, h, kk, tbl: (0,), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (1,), lambda bb, h, kk, tbl: (0,), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(
                     (None, None, r, d), lambda bb, h, kk, tbl: (bb, h, 0, 0)
@@ -136,7 +166,7 @@ def paged_flash_decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_tables, lengths, qg, k_pages, v_pages)
+    )(block_tables, lengths, win_arr, qg, k_pages, v_pages)
     return out.reshape(b, hq, d)
 
 

@@ -35,6 +35,7 @@ DEFAULT_S_BLOCK = 512
 
 def _prefill_kernel(
     off_ref,  # SMEM [B] int32: absolute position of each row's q[0]
+    win_ref,  # SMEM [1] int32: sliding window (0 = unlimited)
     q_ref,  # [TB, R, D]
     k_ref,  # [SB, D]
     v_ref,  # [SB, D]
@@ -46,11 +47,14 @@ def _prefill_kernel(
     t_block: int,
     s_block: int,
     scale: float,
+    softcap: float,
+    windowed: bool,
 ):
     b = pl.program_id(0)
     tb = pl.program_id(2)
     kk = pl.program_id(3)
     offset = off_ref[b]
+    win = win_ref[0]
     t0 = offset + tb * t_block  # absolute position of this block's first q
 
     @pl.when(kk == 0)
@@ -59,8 +63,13 @@ def _prefill_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # causal block skip: S-block fully in the future of every q in the block
-    @pl.when(kk * s_block <= t0 + t_block - 1)
+    # block skip: S-block fully in the causal future of every q in the block,
+    # or (sliding window) fully behind every q's window
+    relevant = kk * s_block <= t0 + t_block - 1
+    if windowed:
+        relevant &= (win == 0) | ((kk + 1) * s_block - 1 > t0 - win)
+
+    @pl.when(relevant)
     def _():
         q = q_ref[...].astype(jnp.float32)  # [TB, R, D]
         k = k_ref[...].astype(jnp.float32)  # [SB, D]
@@ -68,11 +77,16 @@ def _prefill_kernel(
             q, k, (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [TB, R, SB]
+        if softcap:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         span = kk * s_block + jax.lax.broadcasted_iota(
             jnp.int32, scores.shape, dimension=2
         )
         qpos = t0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=0)
-        scores = jnp.where(span <= qpos, scores, NEG_INF)
+        visible = span <= qpos
+        if windowed:
+            visible &= (win == 0) | (span > qpos - win)
+        scores = jnp.where(visible, scores, NEG_INF)
 
         m_prev = m_ref[:, :, :1]  # [TB, R, 1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
@@ -98,7 +112,8 @@ def _prefill_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_block", "s_block", "interpret")
+    jax.jit,
+    static_argnames=("t_block", "s_block", "interpret", "scale", "softcap"),
 )
 def flash_prefill_attention(
     q: jax.Array,  # [B, T, Hq, D]
@@ -108,6 +123,9 @@ def flash_prefill_attention(
     t_block: int = DEFAULT_T_BLOCK,
     s_block: int = DEFAULT_S_BLOCK,
     interpret: bool = False,
+    scale: float | None = None,
+    softcap: float = 0.0,
+    window: jax.Array | int = 0,  # sliding window; 0 = unlimited (traced ok)
 ) -> jax.Array:
     """Returns [B, T, Hq, D]; query t attends cache slots <= offsets[b]+t.
 
@@ -128,12 +146,16 @@ def flash_prefill_attention(
             f"T={t} % t_block={t_block} or S={s} % s_block={s_block} != 0"
         )
     qg = q.reshape(b, t, hkv, r, d).transpose(0, 2, 1, 3, 4)  # [B,Hkv,T,R,D]
-    scale = 1.0 / (d**0.5)
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    windowed = not (isinstance(window, int) and window == 0)
+    win_arr = jnp.asarray(window, jnp.int32).reshape(1)
 
     grid = (b, hkv, t // t_block, s // s_block)
     out = pl.pallas_call(
         functools.partial(
-            _prefill_kernel, t_block=t_block, s_block=s_block, scale=scale
+            _prefill_kernel, t_block=t_block, s_block=s_block, scale=scale,
+            softcap=softcap, windowed=windowed,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, t, r, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -142,6 +164,9 @@ def flash_prefill_attention(
             in_specs=[
                 pl.BlockSpec(
                     (b,), lambda bb, h, tb, kk: (0,), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (1,), lambda bb, h, tb, kk: (0,), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(
                     (None, None, t_block, r, d),
@@ -170,5 +195,5 @@ def flash_prefill_attention(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(offsets, qg, k_cache, v_cache)
+    )(offsets, win_arr, qg, k_cache, v_cache)
     return out.transpose(0, 2, 1, 3, 4).reshape(b, t, hq, d)

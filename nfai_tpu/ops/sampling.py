@@ -20,14 +20,17 @@ def sample_logits(
     top_k: int = 40,
     top_p: float | jax.Array = 0.95,
     top_k_rows: jax.Array | None = None,  # [B] int32 per-row top-k (traced)
+    min_p: float | jax.Array = 0.0,  # per-row-able: drop tokens with
+    # prob < min_p * max_prob (llama.cpp/vLLM-style nucleus floor)
 ) -> jax.Array:
-    """Sample next token ids [B] with temperature / top-k / top-p filtering.
+    """Sample next token ids [B] with temperature / top-k / top-p / min-p
+    filtering.
 
-    `top_k` must be static (it bounds the sort width); temperature and top_p
-    may be traced, either scalars or per-row [B] arrays (continuous batching
-    mixes requests with different sampling settings). `top_k_rows` applies a
-    per-row top-k *within* the static `top_k` window by masking ranks >=
-    top_k_rows[i] — exact for per-row values <= the window width.
+    `top_k` must be static (it bounds the sort width); temperature, top_p and
+    min_p may be traced, either scalars or per-row [B] arrays (continuous
+    batching mixes requests with different sampling settings). `top_k_rows`
+    applies a per-row top-k *within* the static `top_k` window by masking
+    ranks >= top_k_rows[i] — exact for per-row values <= the window width.
     temperature <= 0 is greedy argmax (per row).
     """
     logits = logits.astype(jnp.float32)
@@ -70,6 +73,8 @@ def sample_logits(
     probs = jax.nn.softmax(top_vals, axis=-1)
     cumulative = jnp.cumsum(probs, axis=-1)
     keep = (cumulative - probs) < top_p
+    # min-p floor relative to the max prob (rank 0 is always kept)
+    keep &= probs >= per_row(min_p) * probs[:, :1]
     filtered = jnp.where(keep, top_vals, NEG_INF)
 
     choice = jax.random.categorical(key, filtered, axis=-1)  # [B]
@@ -84,3 +89,33 @@ def sample_logits(
 
 def greedy_sample(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits.astype(jnp.float32), axis=-1)
+
+
+def apply_logit_bias(
+    logits: jax.Array,  # [B, V] float
+    bias_ids: jax.Array,  # [B, W] int32 token ids (pad with 0)
+    bias_vals: jax.Array,  # [B, W] float additive biases (pad with 0.0)
+) -> jax.Array:
+    """Per-request additive logit biases (OpenAI `logit_bias`): a fixed-width
+    (id, bias) table per row; padding rows add 0.0 to token 0 (a no-op)."""
+    b = logits.shape[0]
+    rows = jnp.arange(b)[:, None]
+    return logits.at[rows, bias_ids].add(bias_vals.astype(logits.dtype))
+
+
+def apply_penalties(
+    logits: jax.Array,  # [B, V] float
+    counts: jax.Array,  # [B, V] int32 output-token counts so far
+    presence: jax.Array,  # [B] or scalar
+    frequency: jax.Array,  # [B] or scalar
+) -> jax.Array:
+    """OpenAI-style presence/frequency penalties over the OUTPUT tokens
+    generated so far (vLLM semantics: prompt tokens are not penalized)."""
+    pres = jnp.broadcast_to(
+        jnp.asarray(presence, jnp.float32), (logits.shape[0],)
+    )[:, None]
+    freq = jnp.broadcast_to(
+        jnp.asarray(frequency, jnp.float32), (logits.shape[0],)
+    )[:, None]
+    cf = counts.astype(jnp.float32)
+    return logits - freq * cf - pres * (cf > 0)

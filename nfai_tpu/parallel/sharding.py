@@ -111,6 +111,8 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
             "wqkv_bias": s(None, TP_AXIS),
             "q_norm": s(None, None),
             "k_norm": s(None, None),
+            "post_attn_norm": s(None, None),
+            "post_ffw_norm": s(None, None),
             # MoE (qwen3moe): router is tiny -> replicated; expert stacks
             # [L, E, K, N] shard the ffn dim (N for gate/up, K for down) so
             # every chip holds a slice of every expert (EP sharding over a
@@ -131,6 +133,8 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
         "lm_head": wrap("lm_head", True, False, stacked=False),
         "inv_freq": s(None),
     }
+    if params is not None and "inv_freq_local" in params:
+        out["inv_freq_local"] = s(None)  # gemma3 local-layer rope table
     if params is not None and params.get("embed") is None:
         out["embed"] = None  # tied quantized table lives under lm_head
     return out

@@ -206,13 +206,31 @@ class InferenceEngine:
         key = jax.random.PRNGKey(
             sampling.seed if sampling.seed is not None else np.random.randint(2**31)
         )
+        # optional sampling extensions (logit bias / penalties / min-p)
+        bias_ids = bias_vals = None
+        if sampling.logit_bias:
+            pairs = tuple(sampling.logit_bias)
+            bias_ids = jnp.asarray([[int(i) for i, _ in pairs]], jnp.int32)
+            bias_vals = jnp.asarray([[float(v) for _, v in pairs]], jnp.float32)
+        counts = (
+            jnp.zeros((1, self.model_cfg.vocab_size), jnp.int32)
+            if sampling.has_penalties
+            else None
+        )
         t0 = time.perf_counter()
         logits, cache = self.prefill(cache, prompt_ids, start_pos)
         pos = start_pos + len(prompt_ids)
         key, sub = jax.random.split(key)
+        if bias_ids is not None:
+            from ..ops.sampling import apply_logit_bias
+
+            logits = apply_logit_bias(logits, bias_ids, bias_vals)
         token = sample_logits(
-            logits, sub, sampling.temperature, sampling.top_k, sampling.top_p
+            logits, sub, sampling.temperature, sampling.top_k, sampling.top_p,
+            min_p=sampling.min_p,
         ).astype(jnp.int32)
+        if counts is not None:
+            counts = counts.at[0, token[0]].add(1)
         metrics.prompt_tokens = len(prompt_ids)
         metrics.ttft_s = time.perf_counter() - t0
         self._last_cache, self._last_pos = cache, pos
@@ -231,13 +249,13 @@ class InferenceEngine:
         spec_budget = sampling.max_new_tokens  # tokens dispatched so far
 
         def dispatch():
-            nonlocal token, cache, key, pos, spec_budget
+            nonlocal token, cache, key, pos, spec_budget, counts
             budget = min(spec_budget, self.max_seq_len - pos)
             if budget <= 0:
                 return False
             n = min(self.config.decode_chunk, budget)
             n = 1 << (n.bit_length() - 1)
-            toks, token, cache, key = decode_loop(
+            out = decode_loop(
                 self.params,
                 self.model_cfg,
                 token,
@@ -248,7 +266,17 @@ class InferenceEngine:
                 sampling.temperature,
                 sampling.top_k,
                 sampling.top_p,
+                min_p=sampling.min_p,
+                bias_ids=bias_ids,
+                bias_vals=bias_vals,
+                presence=sampling.presence_penalty,
+                frequency=sampling.frequency_penalty,
+                counts=counts,
             )
+            if counts is not None:
+                toks, token, cache, key, counts = out
+            else:
+                toks, token, cache, key = out
             pending.append((toks, n, pos))
             pos += n
             spec_budget -= n

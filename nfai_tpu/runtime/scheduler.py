@@ -146,6 +146,12 @@ class BatchEngine:
         # the window are clamped to it — logged once per engine.
         self.top_k = 64
         self._warned_topk_clamp = False
+        # sampling extensions: fixed-width per-slot logit-bias table and
+        # output-token counts for presence/frequency penalties (lazy: only
+        # materialized/passed when an active request uses them)
+        self.bias_width = 16
+        self._counts = None  # jnp [B, V] int32
+        self._warned_bias_clamp = False
 
         cfg = engine.config
         self.paged = cfg.paged_kv if paged is None else paged
@@ -274,6 +280,8 @@ class BatchEngine:
         slot.prefill_ids = ids
         slot.prefill_next = start
         req.state = RequestState.RUNNING
+        if self._counts is not None:
+            self._counts = self._counts.at[slot_idx].set(0)
         return True
 
     def _prefill_tick(self, slot_idx: int) -> None:
@@ -317,15 +325,30 @@ class BatchEngine:
         if self.paged:
             self.alloc.publish_prefix([int(t) for t in ids], slot.pages)
         self._key, sub = jax.random.split(self._key)
-        from ..ops.sampling import sample_logits
+        from ..ops.sampling import apply_logit_bias, sample_logits
 
         s = req.sampling
+        if s.logit_bias:
+            ids_b, vals_b = self._bias_row(s)
+            logits = apply_logit_bias(
+                logits, jnp.asarray(ids_b[None]), jnp.asarray(vals_b[None])
+            )
         tok = int(
             sample_logits(
                 logits, sub, s.temperature, self.top_k, s.top_p,
                 top_k_rows=jnp.asarray([self._effective_top_k(s.top_k)]),
+                min_p=s.min_p,
             )[0]
         )
+        if s.has_penalties:
+            if self._counts is None:
+                self._counts = jnp.zeros(
+                    (self.max_batch, self.engine.model_cfg.vocab_size),
+                    jnp.int32,
+                )
+            self._counts = self._counts.at[slot_idx].set(0).at[
+                slot_idx, tok
+            ].add(1)
         slot.prefill_ids = None
         slot.pos = int(ids.size)
         slot.budget = min(
@@ -340,6 +363,25 @@ class BatchEngine:
         pages = self.slots[slot_idx].pages
         row[: len(pages)] = pages
         return row
+
+    def _bias_row(self, sampling) -> tuple[np.ndarray, np.ndarray]:
+        """Fixed-width (ids, biases) row; requests with more than
+        `bias_width` entries keep the largest-magnitude ones."""
+        ids = np.zeros(self.bias_width, np.int32)
+        vals = np.zeros(self.bias_width, np.float32)
+        pairs = sorted(
+            sampling.logit_bias, key=lambda p: -abs(float(p[1]))
+        )
+        if len(pairs) > self.bias_width and not self._warned_bias_clamp:
+            self._warned_bias_clamp = True
+            log.warning(
+                "request logit_bias has %d entries; keeping the %d largest "
+                "(BatchEngine.bias_width)", len(pairs), self.bias_width,
+            )
+        for j, (tid, b) in enumerate(pairs[: self.bias_width]):
+            ids[j] = int(tid)
+            vals[j] = float(b)
+        return ids, vals
 
     def _effective_top_k(self, requested: int) -> int:
         """Clamp a request's top_k to the static sampling window. top_k <= 0
@@ -478,18 +520,50 @@ class BatchEngine:
         temps = np.zeros(B, np.float32)
         top_ps = np.ones(B, np.float32)
         top_ks = np.full(B, self.top_k, np.int32)
+        min_ps = np.zeros(B, np.float32)
+        pres = np.zeros(B, np.float32)
+        freqs = np.zeros(B, np.float32)
+        bias_ids = np.zeros((B, self.bias_width), np.int32)
+        bias_vals = np.zeros((B, self.bias_width), np.float32)
+        any_bias = False
+        any_pen = False
         for i in active_idx:
             s = self.slots[i]
             tokens[i] = s.next_token
             positions[i] = s.pos
             active[i] = True
-            temps[i] = s.request.sampling.temperature
-            top_ps[i] = s.request.sampling.top_p
-            top_ks[i] = self._effective_top_k(s.request.sampling.top_k)
+            sp = s.request.sampling
+            temps[i] = sp.temperature
+            top_ps[i] = sp.top_p
+            top_ks[i] = self._effective_top_k(sp.top_k)
+            min_ps[i] = sp.min_p
+            pres[i] = sp.presence_penalty
+            freqs[i] = sp.frequency_penalty
+            if sp.logit_bias:
+                bias_ids[i], bias_vals[i] = self._bias_row(sp)
+                any_bias = True
+            if sp.has_penalties:
+                any_pen = True
+        extras = dict(min_p=jnp.asarray(min_ps))
+        if any_bias:
+            extras.update(
+                bias_ids=jnp.asarray(bias_ids),
+                bias_vals=jnp.asarray(bias_vals),
+            )
+        if any_pen:
+            if self._counts is None:
+                self._counts = jnp.zeros(
+                    (B, self.engine.model_cfg.vocab_size), jnp.int32
+                )
+            extras.update(
+                presence=jnp.asarray(pres),
+                frequency=jnp.asarray(freqs),
+                counts=self._counts,
+            )
         self._key, sub = jax.random.split(self._key)
         if self.paged:
             tables = np.stack([self._table_row(i) for i in range(B)])
-            toks, nxt, self.cache, _ = paged_decode_loop(
+            out = paged_decode_loop(
                 self.engine.params,
                 self.engine.model_cfg,
                 jnp.asarray(tokens),
@@ -503,9 +577,14 @@ class BatchEngine:
                 jnp.asarray(top_ps),
                 active=jnp.asarray(active),
                 top_k_rows=jnp.asarray(top_ks),
+                **extras,
             )
+            if any_pen:
+                toks, nxt, self.cache, _, self._counts = out
+            else:
+                toks, nxt, self.cache, _ = out
         else:
-            toks, nxt, self.cache, _ = decode_loop(
+            out = decode_loop(
                 self.engine.params,
                 self.engine.model_cfg,
                 jnp.asarray(tokens),
@@ -519,7 +598,12 @@ class BatchEngine:
                 uniform_start=False,
                 active=jnp.asarray(active),
                 top_k_rows=jnp.asarray(top_ks),
+                **extras,
             )
+            if any_pen:
+                toks, nxt, self.cache, _, self._counts = out
+            else:
+                toks, nxt, self.cache, _ = out
         toks_host = np.asarray(toks)
         nxt_host = np.asarray(nxt)
         for i in active_idx:

@@ -48,10 +48,20 @@ def _sampling_from_body(body: dict) -> SamplingParams:
     stop = body.get("stop") or ()
     if isinstance(stop, str):
         stop = (stop,)
+    # OpenAI logit_bias comes as {"token_id": bias}; values clamped to the
+    # OpenAI range [-100, 100]
+    bias = body.get("logit_bias") or {}
+    logit_bias = tuple(
+        (int(k), max(-100.0, min(100.0, float(v)))) for k, v in bias.items()
+    )
     return SamplingParams(
         temperature=float(body.get("temperature", 0.5)),
         top_k=int(body.get("top_k", 40)),
         top_p=float(body.get("top_p", 0.95)),
+        min_p=float(body.get("min_p", 0.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        logit_bias=logit_bias,
         seed=body.get("seed"),
         max_new_tokens=int(
             body.get("max_tokens") or body.get("max_completion_tokens") or 512

@@ -206,3 +206,32 @@ def test_eligibility_gates(tmp_path):
     moe = cfg._replace(n_experts=4) if hasattr(cfg, "_replace") else None
     if moe is not None:
         assert not llama_mod._fused_decode_eligible({}, moe, 1, None, 256)
+
+
+def test_layered_attention_window_softcap_parity(rng):
+    """Sliding-window masking + gemma2 tanh softcap + custom query scale in
+    the fused kernel vs the jnp reference (incl. the low-block skip clamp)."""
+    l, hkv, r, b, s, d = 2, 2, 4, 4, 512, 64
+    hq, kvd = hkv * r, hkv * d
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    # lengths spanning: inside one block, window crossing block boundaries,
+    # and near the end of the cache
+    starts = jnp.asarray([0, 100, 300, s - 1], jnp.int32)
+    for window, softcap, scale in [(64, 0.0, None), (200, 50.0, 0.11), (8, 30.0, None)]:
+        ref, _, _ = layered_decode_reference(
+            q, kn, vn, kc, vc, jnp.int32(1), starts,
+            scale=scale, softcap=softcap, window=window,
+        )
+        out = layered_decode_attention(
+            q, kn, vn, kc, vc, jnp.int32(1), starts,
+            s_block=128, interpret=True,
+            scale=scale, softcap=softcap, window=window,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5,
+            err_msg=f"window={window} softcap={softcap}",
+        )

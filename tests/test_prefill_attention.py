@@ -106,3 +106,48 @@ def test_model_prefill_flash_matches_xla(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
     )
+
+
+def windowed_reference(q, k_cache, v_cache, offsets, window, softcap=0.0,
+                       scale=None):
+    b, t, hq, d = q.shape
+    _, hkv, s, _ = k_cache.shape
+    r = hq // hkv
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    qg = q.reshape(b, t, hkv, r, d).astype(jnp.float32)
+    logits = jnp.einsum(
+        "bthrd,bhsd->bhrts", qg, k_cache.astype(jnp.float32)
+    ) * scale
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    pos = offsets[:, None] + jnp.arange(t)[None, :]
+    span = jnp.arange(s)[None, None, :]
+    mask = span <= pos[:, :, None]
+    if window:
+        mask &= span > pos[:, :, None] - window
+    logits = jnp.where(mask[:, None, None, :, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhrts,bhsd->bthrd", w, v_cache.astype(jnp.float32))
+    return out.reshape(b, t, hq, d).astype(q.dtype)
+
+
+@pytest.mark.parametrize("window,softcap", [(32, 0.0), (200, 50.0), (8, 0.0)])
+def test_flash_prefill_sliding_window(window, softcap):
+    """gemma2/3 sliding-window prefill: kernel vs masked-einsum reference,
+    offsets putting part of the window in previously-cached tokens."""
+    b, t, hq, hkv, d, s = 2, 128, 8, 2, 64, 512
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (b, t, hq, d), jnp.float32)
+    kc = jax.random.normal(k2, (b, hkv, s, d), jnp.float32)
+    vc = jax.random.normal(k3, (b, hkv, s, d), jnp.float32)
+    off = jnp.asarray([0, 128], jnp.int32)
+    got = flash_prefill_attention(
+        q, kc, vc, off, t_block=64, s_block=128, interpret=True,
+        softcap=softcap, window=window,
+    )
+    want = windowed_reference(q, kc, vc, off, window, softcap)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-3
+    )

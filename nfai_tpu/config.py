@@ -50,6 +50,12 @@ class EngineConfig:
     page_size: int = 128  # KV cache page granularity
     prefill_chunk: int = 256  # prompt chunking bucket for jit shape stability
     decode_chunk: int = 32  # tokens generated per on-device fused decode call
+    # speculative decoding (single-request greedy path): "off" | "ngram"
+    # (prompt-lookup self-drafting: no draft model, drafts come from the
+    # most recent n-gram match in the prompt + generated text)
+    speculative: str = "off"
+    spec_tokens: int = 8  # draft length gamma (one verify forward per draft)
+    spec_ngram: int = 3  # n-gram length used for the lookup
     # continuous batching (BatchEngine): paged KV pool with block tables and
     # prompt-prefix sharing; False = dense per-slot lanes (debug/compare)
     paged_kv: bool = True

@@ -1022,6 +1022,24 @@ def prefill_step(
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def verify_step(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B, T] candidate tokens (first = committed next)
+    positions: jax.Array,  # [B, T]
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """Speculative-decoding verification: feed T candidate tokens through the
+    stack in ONE forward and return logits at EVERY position [B, T, V]. K/V
+    for all T candidates are written; rejected positions' slots are simply
+    overwritten by later steps (attention masks by absolute position, so
+    stale future slots are never visible). Greedy acceptance happens on the
+    host (runtime.engine prompt-lookup loop)."""
+    h, cache = forward(params, cfg, tokens, positions, cache)
+    return logits_for(params, h, cfg), cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def decode_step(
     params: dict,
     cfg: LlamaConfig,

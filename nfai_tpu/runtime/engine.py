@@ -26,7 +26,7 @@ import numpy as np
 from ..config import EngineConfig, SamplingParams
 from ..gguf import GGUFFile, Keys
 from ..models import KVCache, prefill_step, resolve
-from ..models.llama import decode_loop
+from ..models.llama import decode_loop, verify_step
 from ..ops.sampling import sample_logits
 from ..tokenizer import (
     ChatTemplate,
@@ -40,6 +40,22 @@ from ..utils.logging import get_logger
 log = get_logger(__name__)
 
 _PREFILL_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _ngram_propose(
+    history: list[int], n: int, gamma: int
+) -> list[int] | None:
+    """Most recent occurrence of the trailing n-gram in `history`; returns up
+    to `gamma` continuation tokens (prompt-lookup decoding)."""
+    ln = len(history)
+    if ln < n + 1:
+        return None
+    key = history[-n:]
+    for j in range(ln - n - 1, -1, -1):
+        if history[j : j + n] == key:
+            cont = history[j + n : j + n + gamma]
+            return cont or None
+    return None
 
 
 def _bucket(n: int, cap: int) -> int:
@@ -57,6 +73,8 @@ class GenerationMetrics:
     new_tokens: int = 0
     ttft_s: float = 0.0
     decode_s: float = 0.0
+    spec_drafted: int = 0  # speculative: draft tokens proposed
+    spec_accepted: int = 0  # speculative: draft tokens accepted
 
     @property
     def decode_tokens_per_s(self) -> float:
@@ -235,6 +253,18 @@ class InferenceEngine:
         metrics.ttft_s = time.perf_counter() - t0
         self._last_cache, self._last_pos = cache, pos
 
+        if (
+            self.config.speculative == "ngram"
+            and sampling.greedy
+            and bias_ids is None
+            and counts is None
+        ):
+            yield from self._generate_ngram(
+                token, pos, cache, list(int(t) for t in prompt_ids),
+                sampling, metrics,
+            )
+            return
+
         # Fused decode: chunks of up to `decode_chunk` tokens run entirely on
         # device (the reference synced per op). Chunk sizes are powers of two
         # to bound compiled variants. Dispatch runs one chunk AHEAD of the
@@ -310,6 +340,102 @@ class InferenceEngine:
             ):
                 yield tok_id
                 emitted += 1
+        metrics.new_tokens = emitted
+        metrics.decode_s = time.perf_counter() - t_dec
+
+    def _generate_ngram(
+        self, token, pos, cache, history, sampling, metrics
+    ) -> Iterator[int]:
+        """Prompt-lookup speculative decoding (greedy): draft the next
+        `spec_tokens` from the most recent n-gram match in prompt+output,
+        verify all of them in ONE forward (models.llama.verify_step), accept
+        the longest matching prefix. Typical 2-4x decode speedup on
+        repetitive text (extraction, code, summaries quoting the prompt);
+        on lookup misses it falls back to fused greedy chunks, so it is
+        never slower than ~the plain path. No draft model needed."""
+        gamma = max(1, self.config.spec_tokens)
+        n = max(1, self.config.spec_ngram)
+        t_dec = time.perf_counter()
+        emitted = 0
+        tok_id = int(token[0])
+        arange = jnp.arange(gamma + 1, dtype=jnp.int32)[None]
+
+        def emit_ok():
+            return (
+                emitted < sampling.max_new_tokens
+                and not self.tokenizer.is_eos(tok_id)
+            )
+
+        while emit_ok():
+            room = self.max_seq_len - pos
+            draft = _ngram_propose(history + [tok_id], n, gamma)
+            if room < gamma + 1 or draft is None:
+                if room <= 0:
+                    # final token needs no KV slot (mirrors generate's tail)
+                    yield tok_id
+                    emitted += 1
+                    history.append(tok_id)
+                    break
+                # miss / tail: one plain fused greedy chunk, then retry
+                m = min(self.config.decode_chunk, room,
+                        sampling.max_new_tokens - emitted)
+                m = 1 << (max(m, 1).bit_length() - 1)
+                toks, token, cache, _ = decode_loop(
+                    self.params, self.model_cfg,
+                    jnp.asarray([tok_id], jnp.int32),
+                    jnp.asarray([pos], jnp.int32),
+                    cache, jax.random.PRNGKey(0), m, 0.0,
+                )
+                outs = [int(t) for t in np.asarray(toks[0])]
+                nxt_id = int(token[0])
+                stop = False
+                for j, t in enumerate(outs):
+                    tok_id = t
+                    if not emit_ok():
+                        stop = True
+                        self._last_pos = pos + j
+                        break
+                    yield t
+                    emitted += 1
+                    history.append(t)
+                self._last_cache = cache
+                if stop:
+                    break
+                pos += m
+                self._last_pos = pos
+                tok_id = nxt_id
+                continue
+            dvec = (list(draft) + [0] * gamma)[:gamma]
+            tvec = jnp.asarray([[tok_id] + dvec], jnp.int32)
+            logits, cache = verify_step(
+                self.params, self.model_cfg, tvec, pos + arange, cache
+            )
+            g = np.asarray(jnp.argmax(logits[0], axis=-1))  # [gamma+1]
+            m = 0
+            while m < len(draft) and draft[m] == int(g[m]):
+                m += 1
+            metrics.spec_drafted += len(draft)
+            metrics.spec_accepted += m
+            outs = [tok_id] + [int(x) for x in draft[:m]]
+            stop = False
+            for j, t in enumerate(outs):
+                tok_id = t
+                if not emit_ok():
+                    stop = True
+                    self._last_pos = pos + j
+                    break
+                yield t
+                emitted += 1
+                history.append(t)
+            self._last_cache = cache
+            if stop:
+                break
+            pos += m + 1
+            self._last_pos = pos
+            tok_id = int(g[m])
+        else:
+            # loop ended because the pending token is EOS / budget reached
+            self._last_cache = cache
         metrics.new_tokens = emitted
         metrics.decode_s = time.perf_counter() - t_dec
 

@@ -166,3 +166,53 @@ def test_scheduler_per_request_extensions(tiny_engine):
     assert target not in ban_out
     assert target in push_out  # +12 dominates a tiny random model's logits
     be.close()
+
+
+def test_ngram_propose():
+    from nfai_tpu.runtime.engine import _ngram_propose
+
+    hist = [1, 2, 3, 9, 8, 1, 2, 3]
+    assert _ngram_propose(hist, 3, 4) == [9, 8, 1, 2]
+    assert _ngram_propose(hist, 3, 1) == [9]
+    assert _ngram_propose([1, 2], 3, 4) is None
+    assert _ngram_propose([5, 6, 7, 8], 2, 4) is None  # no earlier match
+
+
+def test_speculative_matches_plain_greedy(tmp_path):
+    """Prompt-lookup speculative decoding must be EXACTLY greedy: same
+    tokens as the plain path, with a nonzero acceptance rate on a
+    repetitive prompt."""
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+    from nfai_tpu.config import EngineConfig, SamplingParams
+    from nfai_tpu.models.testing import make_tiny_llama_gguf
+    from nfai_tpu.runtime.engine import GenerationMetrics, InferenceEngine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "spec.gguf", hidden=64, n_layers=2, n_heads=4,
+        n_kv_heads=2, ffn_dim=128, seed=21,
+    )
+    # a repetitive prompt so the n-gram lookup has matches
+    prompt = [7, 8, 9, 10, 7, 8, 9, 10, 7, 8, 9, 10, 7, 8]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=24)
+
+    plain = InferenceEngine(
+        path, EngineConfig(max_seq_len=96, dtype="float32")
+    )
+    base = list(plain.generate(prompt, sp))
+
+    spec = InferenceEngine(
+        path,
+        EngineConfig(
+            max_seq_len=96, dtype="float32", speculative="ngram",
+            spec_tokens=4, spec_ngram=2,
+        ),
+    )
+    metrics = GenerationMetrics()
+    got = list(spec.generate(prompt, sp, metrics=metrics))
+    assert got == base
+    assert metrics.spec_drafted > 0
+    # the model is random-weight so acceptance is not guaranteed on model
+    # output, but the repeated prompt guarantees at least some drafts; the
+    # equality assert above is the correctness property

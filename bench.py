@@ -43,6 +43,9 @@ def main() -> int:
     p.add_argument("--quant", default="q4", choices=["none", "q8_0", "q4"],
                    help="weights quantized in HBM (fused dequant kernels); "
                         "the BASELINE headline config is Llama-3.2 Q4_K")
+    p.add_argument("--scales-bf16", action="store_true",
+                   help="A/B: store scales AND mins in bf16 (halves the "
+                   "scale-array HBM bytes; default f32 for Q8_0 accuracy)")
     p.add_argument("--mins-bf16", action="store_true",
                    help="store the mins arrays bf16 (diagnostic: halves the "
                         "array XLA stages into alternate memory per layer)")
@@ -117,6 +120,9 @@ def main() -> int:
         mins = None if args.no_mins else scales * 8.0
         if mins is not None and args.mins_bf16:
             mins = mins.astype(jnp.bfloat16)
+        if args.scales_bf16:
+            scales = scales.astype(jnp.bfloat16)
+            mins = mins.astype(jnp.bfloat16) if mins is not None else None
         return QTensor(qs, scales, mins, "q4", k, n)
 
     qd, kvd = heads * head_dim, kv_heads * head_dim

@@ -23,6 +23,10 @@ class SamplingParams:
     seed: int | None = None
     max_new_tokens: int = 512
     stop: tuple[str, ...] = ()  # stop strings (checked on the decoded text)
+    # grammar-constrained decoding: None | "json" (OpenAI json_object mode).
+    # Constrained requests run token-by-token (the vocab mask depends on
+    # every accepted token), bypassing the fused decode chunks.
+    response_format: str | None = None
 
     @property
     def greedy(self) -> bool:

@@ -31,6 +31,7 @@ SURVEY.md §2.2). These layouts implement the real ggml semantics.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -46,8 +47,11 @@ QBLOCK = 32  # default scale granularity along K
 # Effective scales/mins stay f32 in HBM: bf16 storage was measured to double
 # Q8_0's effective weight error (bf16 eps 0.4% vs f16-scale-exact), violating
 # the "ppl within llama.cpp's delta" target for ~1 bit/elem of bandwidth.
+# NFAI_SCALE_DTYPE=bf16 is an A/B escape hatch (perf probes only).
 SCALE_DTYPE = np.float32
 MIN_DTYPE = np.float32
+if os.environ.get("NFAI_SCALE_DTYPE") == "bf16":  # pragma: no cover
+    SCALE_DTYPE = MIN_DTYPE = ml_dtypes.bfloat16
 
 
 @partial(

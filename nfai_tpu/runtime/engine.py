@@ -26,7 +26,7 @@ import numpy as np
 from ..config import EngineConfig, SamplingParams
 from ..gguf import GGUFFile, Keys
 from ..models import KVCache, prefill_step, resolve
-from ..models.llama import decode_loop, verify_step
+from ..models.llama import decode_loop, decode_step, verify_step
 from ..ops.sampling import sample_logits
 from ..tokenizer import (
     ChatTemplate,
@@ -238,6 +238,12 @@ class InferenceEngine:
         t0 = time.perf_counter()
         logits, cache = self.prefill(cache, prompt_ids, start_pos)
         pos = start_pos + len(prompt_ids)
+        if sampling.response_format:
+            metrics.prompt_tokens = len(prompt_ids)
+            yield from self._generate_constrained(
+                logits, pos, cache, sampling, metrics, key, t0
+            )
+            return
         key, sub = jax.random.split(key)
         if bias_ids is not None:
             from ..ops.sampling import apply_logit_bias
@@ -436,6 +442,74 @@ class InferenceEngine:
         else:
             # loop ended because the pending token is EOS / budget reached
             self._last_cache = cache
+        metrics.new_tokens = emitted
+        metrics.decode_s = time.perf_counter() - t_dec
+
+    @property
+    def json_constraint(self):
+        """Lazy vocab-wide TokenConstraint (built once per engine)."""
+        if getattr(self, "_json_constraint", None) is None:
+            from ..constrained import constraint_for
+
+            self._json_constraint = constraint_for(self.tokenizer, "json")
+        return self._json_constraint
+
+    def _generate_constrained(
+        self, logits, pos, cache, sampling, metrics, key, t0
+    ) -> Iterator[int]:
+        """Grammar-constrained decoding (response_format="json"): before
+        every sample the host JSON automaton produces a bool[V] mask of
+        legal continuations; illegal tokens go to -inf and sampling stays
+        on device. Runs token-by-token (decode_step) — the mask depends on
+        each accepted token — so it pays per-dispatch latency instead of
+        using the fused chunks. Near the token budget it switches to
+        "closing" masks so the output terminates as *valid* JSON instead
+        of truncating mid-structure (see constrained.closing_allowed)."""
+        from ..constrained import JsonMachine
+
+        cons = self.json_constraint
+        machine = JsonMachine(require_object=True)
+        vocab = self.model_cfg.vocab_size
+        emitted = 0
+        first = True
+        t_dec = time.perf_counter()
+        while emitted < sampling.max_new_tokens:
+            budget = sampling.max_new_tokens - emitted
+            # each token is >= 1 byte, so bytes-to-close bounds tokens-to-
+            # close; +4 margin keeps a little slack for multi-byte choices
+            closing = len(machine.closing_string()) + 4 >= budget
+            mask = (
+                cons.closing_allowed(machine) if closing
+                else cons.allowed(machine)
+            )
+            m = np.zeros(vocab, bool)
+            m[: mask.shape[0]] = mask
+            key, sub = jax.random.split(key)
+            masked = jnp.where(jnp.asarray(m)[None, :], logits, -jnp.inf)
+            token = int(
+                sample_logits(
+                    masked, sub, sampling.temperature, sampling.top_k,
+                    sampling.top_p, min_p=sampling.min_p,
+                )[0]
+            )
+            if first:
+                metrics.ttft_s = time.perf_counter() - t0
+                first = False
+            if self.tokenizer.is_eos(token):
+                break
+            ok = machine.advance_bytes(cons.token_bytes[token])
+            assert ok, "constrained sampler emitted an illegal token"
+            yield token
+            emitted += 1
+            if machine.complete or pos >= self.max_seq_len:
+                break
+            logits, cache = decode_step(
+                self.params, self.model_cfg,
+                jnp.asarray([token], jnp.int32),
+                jnp.asarray([pos], jnp.int32), cache,
+            )
+            pos += 1
+            self._last_cache, self._last_pos = cache, pos
         metrics.new_tokens = emitted
         metrics.decode_s = time.perf_counter() - t_dec
 

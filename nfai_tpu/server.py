@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import queue
 import threading
 import time
 import uuid
@@ -42,6 +43,7 @@ class ServerState:
         self.started_at = time.time()
         self.requests_served = 0
         self.lock = threading.Lock()
+        self.constrained_lock = threading.Lock()
 
 
 def _sampling_from_body(body: dict) -> SamplingParams:
@@ -54,6 +56,15 @@ def _sampling_from_body(body: dict) -> SamplingParams:
     logit_bias = tuple(
         (int(k), max(-100.0, min(100.0, float(v)))) for k, v in bias.items()
     )
+    # OpenAI response_format: {"type": "json_object"} -> JSON-constrained
+    rf = body.get("response_format") or {}
+    rf_type = rf.get("type") if isinstance(rf, dict) else str(rf)
+    if rf_type in (None, "text"):
+        response_format = None
+    elif rf_type in ("json_object", "json"):
+        response_format = "json"
+    else:
+        raise ValueError(f"unsupported response_format type {rf_type!r}")
     return SamplingParams(
         temperature=float(body.get("temperature", 0.5)),
         top_k=int(body.get("top_k", 40)),
@@ -67,7 +78,47 @@ def _sampling_from_body(body: dict) -> SamplingParams:
             body.get("max_tokens") or body.get("max_completion_tokens") or 512
         ),
         stop=tuple(str(s) for s in stop),
+        response_format=response_format,
     )
+
+
+class _DirectRequest:
+    """Request-shaped adapter that runs a single-request engine generation
+    in a worker thread. Used for grammar-constrained requests, which need
+    the host automaton in the sampling loop and therefore bypass the
+    BatchEngine's fused decode chunks (see runtime.engine
+    _generate_constrained). Exposes the same stream()/cancel()/sampling
+    surface the SSE/blocking responders consume."""
+
+    def __init__(self, engine, prompt_ids, sampling, lock):
+        self.sampling = sampling
+        self.prompt_ids = list(prompt_ids)
+        self._q: queue.Queue = queue.Queue()
+        self._cancelled = threading.Event()
+
+        def run():
+            try:
+                with lock:  # constrained requests serialize among themselves
+                    for tok in engine.generate(prompt_ids, sampling):
+                        if self._cancelled.is_set():
+                            break
+                        self._q.put(tok)
+            except Exception:  # noqa: BLE001
+                log.exception("constrained generation failed")
+            finally:
+                self._q.put(None)
+
+        threading.Thread(target=run, daemon=True).start()
+
+    def stream(self, timeout: float = 600.0):
+        while True:
+            tok = self._q.get(timeout=timeout)
+            if tok is None:
+                return
+            yield tok
+
+    def cancel(self):
+        self._cancelled.set()
 
 
 def make_handler(state: ServerState):
@@ -172,11 +223,16 @@ def make_handler(state: ServerState):
         def _generate(self, body: dict, prompt_ids: list[int], chat: bool):
             eng = state.engine
             sampling = _sampling_from_body(body)
-            try:
-                req = state.batch.submit(prompt_ids, sampling)
-            except RuntimeError as e:  # bounded queue: shed load
-                self._error(503, str(e))
-                return
+            if sampling.response_format:
+                req = _DirectRequest(
+                    eng, prompt_ids, sampling, state.constrained_lock
+                )
+            else:
+                try:
+                    req = state.batch.submit(prompt_ids, sampling)
+                except RuntimeError as e:  # bounded queue: shed load
+                    self._error(503, str(e))
+                    return
             with state.lock:
                 state.requests_served += 1
             try:

@@ -43,6 +43,8 @@ def main() -> int:
     p.add_argument("--quant", default="q4", choices=["none", "q8_0", "q4"],
                    help="weights quantized in HBM (fused dequant kernels); "
                         "the BASELINE headline config is Llama-3.2 Q4_K")
+    p.add_argument("--no-v3", action="store_true",
+                   help="A/B: keep the LM head in the v2 nibble container")
     p.add_argument("--scales-bf16", action="store_true",
                    help="A/B: store scales AND mins in bf16 (halves the "
                    "scale-array HBM bytes; default f32 for Q8_0 accuracy)")
@@ -141,6 +143,12 @@ def main() -> int:
         "lm_head": weight(hidden, vocab, pad_n_to=512),
         "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
     }
+    if args.quant == "q4" and not args.scales_bf16 and not args.no_v3:
+        # mirror load_params: the wide-vocab head repacks to the cast-free
+        # v3 bit-decode container (ops.qtensor.to_v3)
+        from nfai_tpu.ops.qtensor import to_v3
+
+        params["lm_head"] = to_v3(params["lm_head"])
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     weight_bytes = sum(
         a.size * a.dtype.itemsize for a in jax.tree.leaves(params)

@@ -472,6 +472,14 @@ def load_params(
         lm_head = mat("output.weight")
         if isinstance(lm_head, QTensor):
             lm_head = pad_qtensor_n(lm_head)
+            if lm_head.n > 16384:
+                # wide-vocab 4-bit heads repack to the cast-free v3
+                # bit-decode container (ops.qtensor.to_v3; no-op for other
+                # kinds/shapes). Tied tables stay v2 — dequant_gather needs
+                # the nibble layout for embedding lookups.
+                from ..ops.qtensor import to_v3
+
+                lm_head = to_v3(lm_head)
 
     if "rope_freqs.weight" in g.tensors:
         # llama.cpp stores per-dim frequency *divisors* (freq_factors,

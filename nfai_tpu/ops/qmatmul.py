@@ -308,6 +308,89 @@ def _q4_matmul(x, qs, scales, mins=None, out_dtype=jnp.bfloat16):
 
 
 # ---------------------------------------------------------------------------
+# v3 bit-decode 4-bit kernel (LM head)
+#
+# The v2 nibble kernel's int8→bf16 casts are ~half its wall time at the
+# 128k-vocab LM-head shape; the v3 container (ops.qtensor._pack_v3_words)
+# places nibbles inside int32 words so that shift+AND+OR+bitcast yields
+# bf16 (2 + q/8) directly — no int→float casts at all. Wins only where N is
+# very wide (lm_head: 364 µs vs 438 µs, qmm_probe3); the 4-way k-split makes
+# it slower at the square-ish layer shapes, which keep the v2 container.
+# The per-block affine term stays OUTSIDE (mins_correction), with the +2
+# header constant folded into mins by ops.qtensor.to_v3.
+
+
+def _q4v3_kernel(x0, x1, x2, x3, q32_ref, s0, s1, s2, s3, o_ref, acc_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = q32_ref[...]
+    hdr = jnp.int32(0x40004000)
+    msk = jnp.int32(0x00780078)
+
+    def plane(shifted):
+        # [TW, TN] int32 → [2·TW, TN] bf16 (halfword h → row 2s+h)
+        return pltpu.bitcast((shifted & msk) | hdr, jnp.bfloat16)
+
+    ws = [plane(w << 3), plane(w >> 5), plane(w >> 1), plane(w >> 9)]
+    for xr, wr, sr in zip((x0, x1, x2, x3), ws, (s0, s1, s2, s3)):
+        acc_ref[...] += jax.lax.dot(
+            xr[...].astype(jnp.bfloat16),
+            _scaled_deq(wr, sr[...], QBLOCK),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _q4v3_matmul(x, q32, scales, out_dtype=jnp.bfloat16):
+    """x [B, K] @ v3 container (q32 [K/8, N] int32, scales [K/32, N] in
+    natural k order — the 4 planes ARE contiguous k quarters)."""
+    b, k = x.shape
+    n = q32.shape[1]
+    nw = k // 8  # int32 word rows
+    tw = 256 if nw % 256 == 0 else nw  # k tile (word rows); kb stays %8
+    tn = 512 if (n > 16384 and n % 512 == 0) else (1024 if n % 1024 == 0 else n)
+    nk = nw // tw
+    tkp = 2 * tw  # k rows per plane per tile
+    kb = tkp // QBLOCK  # scale rows per plane per tile
+    xspecs = [
+        pl.BlockSpec((b, tkp), lambda j, kk, p=p, nk=nk: (0, kk + p * nk))
+        for p in range(4)
+    ]
+    sspecs = [
+        pl.BlockSpec((kb, tn), lambda j, kk, p=p, nk=nk: (kk + p * nk, j))
+        for p in range(4)
+    ]
+    return pl.pallas_call(
+        _q4v3_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n // tn, nk),
+            in_specs=xspecs
+            + [pl.BlockSpec((tw, tn), lambda j, kk: (kk, j))]
+            + sspecs,
+            out_specs=pl.BlockSpec((b, tn), lambda j, kk: (0, j)),
+            scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=(k // 2) * n + (k // QBLOCK) * n * 4 + b * k * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x, x, x, x, q32, scales, scales, scales, scales)
+
+
+# ---------------------------------------------------------------------------
 # layer-stacked kernels (scalar-prefetch layer index)
 #
 # The decode forward scans over layers; slicing each layer's quantized weight
@@ -670,6 +753,8 @@ def kernel_supported(qt: QTensor) -> bool:
     # physical N may exceed qt.n (N-padded container); metadata-only views
     # (_layer_view) carry qs=None and are never padded
     n_phys = qt.n if qt.qs is None else qt.qs.shape[-1]
+    if qt.kind == "q4v3":
+        return True  # to_v3 only produces aligned containers (K % 2048)
     if qt.kind == "q8":
         tk, _ = _pick_tiles(0, qt.k, n_phys)
         rows = tk // qt.group
@@ -688,6 +773,8 @@ def _qmatmul_local(xb: jax.Array, qt: QTensor, use_kernel: bool) -> jax.Array:
     # chain); keep the correction outside the kernels.
     if qt.kind == "q8":
         y = _q8_matmul(xb, qt.qs, qt.scales, None, group=qt.group)
+    elif qt.kind == "q4v3":
+        y = _q4v3_matmul(xb, qt.qs, qt.scales)
     else:
         y = _q4_matmul(xb, qt.qs, qt.scales, None)
     if qt.mins is not None:

@@ -346,6 +346,96 @@ def pad_qtensor_n(qt: QTensor, multiple: int = 512) -> QTensor:
     return qt.replace(qs=padn(qt.qs), scales=padn(qt.scales), mins=padn(qt.mins))
 
 
+def _pack_v3_words(q: np.ndarray) -> np.ndarray:
+    """nibbles q [K, N] (0..15) → int32 "v3 bit-decode" words [K/8, N].
+
+    Each int32 word holds 8 nibbles in 4 "planes" (byte-pair × nibble
+    position); plane p decodes the contiguous k-quarter [p*K/4, (p+1)*K/4).
+    The placement is chosen so that ``((w << s_p) & 0x00780078) | 0x40004000``
+    bitcast to 2 bf16 halfwords yields exactly ``2 + q/8`` with NO int→float
+    casts — the v2 nibble container's int8→bf16 casts are ~half its kernel
+    time at the 128k-vocab LM-head shape (benchmarks/qmm_probe3.py: 364 µs
+    vs 438 µs on v5e). Plane shifts: p0 ``<<3``, p1 ``>>5``, p2 ``>>1``,
+    p3 ``>>9``. Halfword h of word row s is plane row 2s+h (little-endian,
+    parity-verified on both TPU Mosaic and XLA bitcast_convert_type)."""
+    k, n = q.shape
+    if k % 8:
+        raise ValueError(f"v3 packing requires K % 8 == 0, got {k}")
+    kq = k // 4
+    planes = [q[i * kq : (i + 1) * kq].astype(np.uint32) for i in range(4)]
+    words = np.zeros((k // 8, n), np.uint32)
+    for p, (byte_pair, nib_shift) in enumerate(
+        [(0, 0), (1, 0), (0, 4), (1, 4)]
+    ):
+        pr = planes[p]
+        for half in (0, 1):
+            rows = pr[half::2]
+            bit = (half * 2 + byte_pair) * 8 + nib_shift
+            words[: rows.shape[0]] |= rows << bit
+    return words.view(np.int32)
+
+
+V3_SHIFTS = (3, -5, -1, -9)  # per-plane shift (positive = left)
+
+
+def to_v3(qt: QTensor) -> QTensor:
+    """Repack a v2 (split-half nibble) 4-bit container into the v3
+    bit-decode container (kind "q4v3"): qs int32 [K/8, N], effective
+    scales' = 8·s and mins' = m + 16·s so that
+    ``scales'·(2 + q/8) - mins'·(Σx per block) ≡ s·q - m`` — the +2 header
+    constant folds into the existing rank-1 mins correction for free.
+    Used for the LM head only (decode's widest matmul); returns `qt`
+    unchanged when the shape doesn't qualify."""
+    if (
+        qt.kind != "q4"
+        or qt.sections != 1
+        or qt.tp_mode is not None
+        or qt.group != QBLOCK
+        or qt.k % 2048
+    ):
+        return qt
+    byte = np.asarray(qt.qs).view(np.uint8)  # [K/2, N]
+    k, n_phys = qt.k, byte.shape[-1]
+    lo = byte & 0x0F
+    hi = ((byte >> 4) + 8) & 0x0F  # un-bias the stored (q-8) & 0xF
+    q = np.concatenate([lo, hi], axis=0)  # natural k order
+    sc = np.asarray(qt.scales, np.float32).copy()
+    mn = (
+        np.asarray(qt.mins, np.float32).copy()
+        if qt.mins is not None
+        else np.zeros_like(sc)
+    )
+    half = sc.shape[0] // 2
+    sc[half:] *= 16.0  # undo the v2 high-half /16 fold
+    mn[half:] += 8.0 * sc[half:]  # undo the v2 high-half -8·s bias fold
+    return QTensor(
+        qs=jnp.asarray(_pack_v3_words(q)),
+        scales=jnp.asarray(8.0 * sc),
+        mins=jnp.asarray(mn + 16.0 * sc),
+        kind="q4v3",
+        k=k,
+        n=qt.n,
+        group=QBLOCK,
+    )
+
+
+def _dequant_v3_values(qs32: jax.Array, k: int) -> jax.Array:
+    """v3 words → bf16 [K, N] of (2 + q/8) via XLA bitcast (fallback /
+    reference path; the Pallas kernel does the same with pltpu.bitcast)."""
+    w = qs32  # [K/8, N] int32
+    n = w.shape[-1]
+    hdr = jnp.int32(0x40004000)
+    msk = jnp.int32(0x00780078)
+    planes = []
+    for s in V3_SHIFTS:
+        shifted = (w << s) if s > 0 else (w >> -s)
+        v = jax.lax.bitcast_convert_type(
+            (shifted & msk) | hdr, jnp.bfloat16
+        )  # [K/8, N, 2] halfwords (little-endian: [..., h] = row 2s+h)
+        planes.append(jnp.swapaxes(v, -1, -2).reshape(k // 4, n))
+    return jnp.concatenate(planes, axis=0)  # natural k order
+
+
 def promote_qtensor(
     qt: QTensor, kind: str, group: int, with_mins: bool
 ) -> QTensor:
@@ -452,6 +542,8 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     scales = jnp.repeat(qt.scales, qt.group, axis=0)  # [K, N]
     if qt.kind == "q8":
         w = qt.qs.astype(jnp.float32) * scales
+    elif qt.kind == "q4v3":
+        w = _dequant_v3_values(qt.qs, qt.k).astype(jnp.float32) * scales
     else:
         lo = (qt.qs & 0x0F).astype(jnp.float32)  # q_lo (0..15)
         hi16 = qt.qs.astype(jnp.float32) - lo  # 16*(q_hi - 8), exact

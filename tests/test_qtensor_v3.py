@@ -1,0 +1,112 @@
+"""v3 bit-decode container: pack/dequant/matmul parity vs the v2 nibble
+container (exact — both decode the same integer grid)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+jax.config.update("jax_platforms", "cpu")
+
+from nfai_tpu.gguf.constants import GGMLType
+from nfai_tpu.ops.qmatmul import qmatmul
+from nfai_tpu.ops.qtensor import (
+    QTensor,
+    _pack_v3_words,
+    dequant_qtensor,
+    to_v3,
+)
+
+
+def make_v2(rng, k, n, with_mins=True):
+    qs = rng.integers(-128, 128, (k // 2, n), dtype=np.int8)
+    scales = (rng.random((k // 32, n), dtype=np.float32) * 0.01).astype(
+        np.float32
+    )
+    mins = (
+        (rng.random((k // 32, n), dtype=np.float32) * 0.05).astype(np.float32)
+        if with_mins
+        else None
+    )
+    return QTensor(
+        jnp.asarray(qs), jnp.asarray(scales),
+        jnp.asarray(mins) if mins is not None else None, "q4", k, n,
+    )
+
+
+def test_pack_v3_words_layout():
+    rng = np.random.default_rng(0)
+    k, n = 16, 4
+    q = rng.integers(0, 16, (k, n), dtype=np.uint8)
+    w = _pack_v3_words(q).view(np.uint32)
+    assert w.shape == (2, 4)
+    # plane p, row r -> word row r//2, bits (r%2*2 + byte_pair)*8 + nib_shift
+    kq = k // 4
+    for p, (bp, ns) in enumerate([(0, 0), (1, 0), (0, 4), (1, 4)]):
+        for r in range(kq):
+            got = (w[r // 2] >> ((r % 2 * 2 + bp) * 8 + ns)) & 0xF
+            assert np.array_equal(got, q[p * kq + r]), (p, r)
+
+
+@pytest.mark.parametrize("with_mins", [True, False])
+def test_v3_dequant_matches_v2(with_mins):
+    rng = np.random.default_rng(1)
+    qt = make_v2(rng, 2048, 256, with_mins)
+    v3 = to_v3(qt)
+    assert v3.kind == "q4v3"
+    w2 = np.asarray(dequant_qtensor(qt, jnp.float32))
+    w3 = np.asarray(dequant_qtensor(v3, jnp.float32))
+    # both expand the same integers; bf16 plane decode is exact for
+    # (2 + q/8) so the only difference is f32 rounding in scale folds
+    np.testing.assert_allclose(w3, w2, rtol=2e-3, atol=2e-6)
+
+
+def test_v3_matmul_matches_v2():
+    rng = np.random.default_rng(2)
+    qt = make_v2(rng, 2048, 512)
+    v3 = to_v3(qt)
+    x = jnp.asarray(rng.standard_normal((8, 2048)), jnp.bfloat16)
+    y2 = np.asarray(qmatmul(x, qt, use_kernel=False), np.float32)
+    y3k = np.asarray(qmatmul(x, v3, use_kernel=True), np.float32)
+    y3f = np.asarray(qmatmul(x, v3, use_kernel=False), np.float32)
+    scale = np.abs(y2).max()
+    assert np.abs(y3f - y2).max() / scale < 2e-2
+    assert np.abs(y3k - y3f).max() / scale < 2e-2
+
+
+def test_to_v3_guards():
+    rng = np.random.default_rng(3)
+    # odd K: unchanged
+    qt = make_v2(rng, 512, 64)
+    assert to_v3(qt) is qt
+    # sectioned containers: unchanged
+    qt2 = make_v2(rng, 2048, 64).replace(sections=2)
+    assert to_v3(qt2) is qt2
+    # q8: unchanged
+    q8 = QTensor(
+        jnp.zeros((256, 64), jnp.int8), jnp.ones((8, 64), jnp.float32),
+        None, "q8", 256, 64,
+    )
+    assert to_v3(q8) is q8
+
+
+def test_v3_in_model_logits(tmp_path):
+    """Untied quantized model end-to-end: load_params repacks the head to
+    v3; logits must match a v2-head run."""
+    from nfai_tpu.models.testing import make_tiny_llama_gguf
+    from nfai_tpu.runtime.engine import InferenceEngine
+    from nfai_tpu.config import EngineConfig
+
+    # hidden must be >= 2048 for the v3 repack guard; use a 1-layer model
+    path = make_tiny_llama_gguf(
+        tmp_path / "v3.gguf", hidden=2048, n_layers=1, n_heads=8,
+        n_kv_heads=4, ffn_dim=256, vocab_size=32768, quant=GGMLType.Q4_K, tied=False, seed=9,
+    )
+    eng = InferenceEngine(path, EngineConfig(max_seq_len=64))
+    assert eng.params["lm_head"].kind == "q4v3"
+    from nfai_tpu.config import SamplingParams
+
+    out = list(
+        eng.generate([3, 5, 7], SamplingParams(temperature=0.0,
+                                               max_new_tokens=4))
+    )
+    assert len(out) == 4

@@ -43,6 +43,8 @@ def main() -> int:
     p.add_argument("--quant", default="q4", choices=["none", "q8_0", "q4"],
                    help="weights quantized in HBM (fused dequant kernels); "
                         "the BASELINE headline config is Llama-3.2 Q4_K")
+    p.add_argument("--kv", default="auto", choices=["auto", "int8"],
+                   help="KV cache storage (int8 = quantized cache, halves attention HBM reads)")
     p.add_argument("--no-v3", action="store_true",
                    help="A/B: keep the LM head in the v2 nibble container")
     p.add_argument("--scales-bf16", action="store_true",
@@ -155,7 +157,8 @@ def main() -> int:
     )
     log(f"params: ~{weight_bytes/1e9:.2f} GB in HBM (quant={args.quant})")
 
-    cache = KVCache.zeros(cfg, args.batch, args.seq, dtype)
+    kvq = args.kv == "int8"
+    cache = KVCache.zeros(cfg, args.batch, args.seq, dtype, quantized=kvq)
     B, T = args.batch, args.prompt
     tokens = jax.random.randint(next(kiter), (B, T), 0, vocab, jnp.int32)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
@@ -176,7 +179,7 @@ def main() -> int:
         sync(logits)
         compile_ttft = time.perf_counter() - t0
         # warm TTFT: fresh cache, compiled path
-        cache2 = KVCache.zeros(cfg, B, args.seq, dtype)
+        cache2 = KVCache.zeros(cfg, B, args.seq, dtype, quantized=kvq)
         sync(cache2.k)
         t0 = time.perf_counter()
         logits, cache2 = prefill_step(params, cfg, tokens, positions, last, cache2)

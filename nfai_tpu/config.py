@@ -60,6 +60,11 @@ class EngineConfig:
     speculative: str = "off"
     spec_tokens: int = 8  # draft length gamma (one verify forward per draft)
     spec_ngram: int = 3  # n-gram length used for the lookup
+    # KV cache storage: "auto" (= activation dtype) | "int8" (per-token
+    # per-head symmetric quantization — halves decode attention HBM
+    # traffic and doubles cache capacity; dense cache paths only: the
+    # BatchEngine falls back from the paged pool to dense lanes)
+    kv_dtype: str = "auto"
     # continuous batching (BatchEngine): paged KV pool with block tables and
     # prompt-prefix sharing; False = dense per-slot lanes (debug/compare)
     paged_kv: bool = True

@@ -177,23 +177,92 @@ class KVCache(NamedTuple):
     zero-copy to the [B, S, H_kv, D] view the prefill kernel and the einsum
     fallback use, and tensor-parallel sharding splits the KVD axis (whole
     heads per shard, since columns are head-major).
+
+    Quantized cache (EngineConfig.kv_dtype="int8"): k/v are int8 and
+    ks/vs hold per-(token, kv-head) f32 scales stored TIME-MINOR as
+    [L, B, H_kv, S_max] (a [.., S, Hkv] layout would pad Hkv≈8 lanes to
+    128 on TPU — 16x the physical bytes). Halves decode's attention HBM
+    traffic; the scale factors out of the D-contraction in both attention
+    dots, so the kernels apply it per score column (k) / fold it into the
+    softmax weights (v) instead of dequantizing elementwise
+    (ops.fused_decode).
     """
 
     k: jax.Array
     v: jax.Array
+    ks: jax.Array | None = None  # [L, B, Hkv, S] f32 (int8 cache only)
+    vs: jax.Array | None = None
 
     @classmethod
     def zeros(
-        cls, cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+        cls, cfg: LlamaConfig, batch: int, max_seq: int, dtype=jnp.bfloat16,
+        quantized: bool = False,
     ) -> "KVCache":
         shape = (
             cfg.n_layers, batch, max_seq, cfg.n_kv_heads * cfg.head_dim,
         )
+        if quantized:
+            sshape = (cfg.n_layers, batch, cfg.n_kv_heads, max_seq)
+            return cls(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32),
+            )
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
     def max_seq(self) -> int:
         return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
+
+
+def quantize_kv(x: jax.Array, n_heads: int) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-(…, head) int8 quantization of K/V rows.
+
+    x [..., H*D] (merged-lane) → (int8 [..., H*D], scales f32 [..., H]).
+    """
+    lead = x.shape[:-1]
+    d = x.shape[-1] // n_heads
+    xh = x.reshape(*lead, n_heads, d).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xh), axis=-1)  # [..., H]
+    scale = jnp.maximum(amax, 1e-20) / 127.0
+    q = jnp.clip(jnp.round(xh / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(*lead, n_heads * d), scale
+
+
+def dequant_kv(
+    q: jax.Array,  # [B, S, KVD] int8
+    scale: jax.Array,  # [B, H, S] f32 (time-minor)
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Dense dequantization for the XLA attention paths (prefill / fallback)."""
+    b, s, kvd = q.shape
+    h = scale.shape[1]
+    xh = q.reshape(b, s, h, kvd // h).astype(jnp.float32) * (
+        scale.transpose(0, 2, 1)[..., None]
+    )
+    return xh.reshape(b, s, kvd).astype(dtype)
+
+
+def _write_scales(
+    scales_l: jax.Array,  # [B, H, S] f32 time-minor
+    new: jax.Array,  # [B, T, H] per-token scales from quantize_kv
+    starts: jax.Array,
+    uniform_start: bool,
+) -> jax.Array:
+    """Scale-row writes matching _write_cache's offset semantics."""
+    newt = new.transpose(0, 2, 1).astype(scales_l.dtype)  # [B, H, T]
+    if uniform_start:
+        return jax.lax.dynamic_update_slice(
+            scales_l, newt, (0, 0, starts[0])
+        )
+
+    def upd(c, n, s):  # c: [H, S], n: [H, T]
+        return jax.lax.dynamic_update_slice(c, n, (0, s))
+
+    return jax.vmap(upd)(scales_l, newt, starts)
 
 
 # ---------------------------------------------------------------------------
@@ -802,6 +871,7 @@ def _decode_forward_fused(
             s_block=s_block, interpret=interp,
             scale=cfg.query_scale, softcap=cfg.attn_softcap,
             window=win if cfg.swa_pattern else 0,
+            k_scales=cache.ks, v_scales=cache.vs,
         )
         attn = attn.reshape(b, 1, qd)
         attn_out = linear_layered(attn, layers["wo"], lidx)
@@ -834,10 +904,26 @@ def _decode_forward_fused(
         h,
         (jnp.arange(cfg.n_layers, dtype=jnp.int32), smalls, windows, is_local),
     )
-    new_k = write_all_layers(cache.k, k_rows, starts, interpret=interp)
-    new_v = write_all_layers(cache.v, v_rows, starts, interpret=interp)
+    if cache.quantized:
+        # quantize the new rows for STORAGE only — attention folded the
+        # full-precision rows in analytically above
+        from ..ops.fused_decode import write_all_layers_t
+
+        kq, ksc = quantize_kv(k_rows, cfg.n_kv_heads)  # [L,B,KVD],[L,B,Hkv]
+        vq, vsc = quantize_kv(v_rows, cfg.n_kv_heads)
+        new_cache = KVCache(
+            write_all_layers(cache.k, kq, starts, interpret=interp),
+            write_all_layers(cache.v, vq, starts, interpret=interp),
+            write_all_layers_t(cache.ks, ksc, starts, interpret=interp),
+            write_all_layers_t(cache.vs, vsc, starts, interpret=interp),
+        )
+    else:
+        new_cache = type(cache)(
+            write_all_layers(cache.k, k_rows, starts, interpret=interp),
+            write_all_layers(cache.v, v_rows, starts, interpret=interp),
+        )
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
-    return h, type(cache)(new_k, new_v)
+    return h, new_cache
 
 
 def forward(
@@ -900,8 +986,14 @@ def forward(
         [cfg.layer_is_local(i) for i in range(cfg.n_layers)], jnp.bool_
     )
 
+    quant = getattr(cache, "ks", None) is not None
+
     def layer_step(h, layer_in):
-        lp, k_cache_l, v_cache_l, win, local = layer_in
+        if quant:
+            lp, k_cache_l, v_cache_l, ks_l, vs_l, win, local = layer_in
+        else:
+            lp, k_cache_l, v_cache_l, win, local = layer_in
+            ks_l = vs_l = None
         if "inv_freq_local" in params:
             lcos = jnp.where(local, cos_l, cos)
             lsin = jnp.where(local, sin_l, sin)
@@ -948,6 +1040,31 @@ def forward(
             attn = _paged_attention(
                 q, k_cache_l, v_cache_l, page_tables, positions, **attn_kw
             )
+        elif quant:
+            hkv, hd = cfg.n_kv_heads, cfg.head_dim
+            kq, ksc = quantize_kv(k.reshape(b, t, kvd), hkv)
+            vq, vsc = quantize_kv(v.reshape(b, t, kvd), hkv)
+            k_cache_l = _write_cache(
+                k_cache_l, kq.reshape(b, t, hkv, hd), starts, uniform_start
+            )
+            v_cache_l = _write_cache(
+                v_cache_l, vq.reshape(b, t, hkv, hd), starts, uniform_start
+            )
+            ks_l = _write_scales(ks_l, ksc, starts, uniform_start)
+            vs_l = _write_scales(vs_l, vsc, starts, uniform_start)
+            al = (
+                attend_len
+                if attend_len is not None
+                and attend_len < k_cache_l.shape[1]
+                else k_cache_l.shape[1]
+            )
+            attn = _cached_attention(
+                q,
+                dequant_kv(k_cache_l[:, :al], ks_l[:, :, :al], h.dtype),
+                dequant_kv(v_cache_l[:, :al], vs_l[:, :, :al], h.dtype),
+                positions,
+                **attn_kw,
+            )
         elif attend_len is not None and attend_len < k_cache_l.shape[1]:
             k_cache_l = _write_cache(k_cache_l, k, starts, uniform_start)
             v_cache_l = _write_cache(v_cache_l, v, starts, uniform_start)
@@ -987,13 +1104,25 @@ def forward(
         if cfg.post_norms:
             ffn_out = rms_norm(ffn_out, lp["post_ffw_norm"], cfg.rms_eps)
         h = (h + ffn_out).astype(activation_dtype)
+        if quant:
+            return h, (k_cache_l, v_cache_l, ks_l, vs_l)
         return h, (k_cache_l, v_cache_l)
 
-    h, (new_k, new_v) = jax.lax.scan(
-        layer_step, h, (params["layers"], cache.k, cache.v, windows, is_local)
-    )
+    if quant:
+        h, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            layer_step, h,
+            (params["layers"], cache.k, cache.v, cache.ks, cache.vs,
+             windows, is_local),
+        )
+        new_cache = KVCache(new_k, new_v, new_ks, new_vs)
+    else:
+        h, (new_k, new_v) = jax.lax.scan(
+            layer_step, h,
+            (params["layers"], cache.k, cache.v, windows, is_local),
+        )
+        new_cache = type(cache)(new_k, new_v)
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
-    return h, type(cache)(new_k, new_v)
+    return h, new_cache
 
 
 def logits_for(
@@ -1169,16 +1298,31 @@ def prefill_slot_step(
     their decoded state: the slot's cache lane is sliced out, the chunk runs
     as a batch-1 forward, and the lane is written back.
     """
-    k_slot = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
-    v_slot = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
+    def lane(a):
+        return (
+            jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+            if a is not None
+            else None
+        )
+
     h, slot_cache = forward(
-        params, cfg, tokens, positions, KVCache(k_slot, v_slot)
+        params, cfg, tokens, positions,
+        KVCache(lane(cache.k), lane(cache.v), lane(cache.ks), lane(cache.vs)),
     )
     h_last = jnp.take_along_axis(h, last_index[:, None, None], axis=1)
     logits = logits_for(params, h_last, cfg)[:, 0, :]
-    k = jax.lax.dynamic_update_slice_in_dim(cache.k, slot_cache.k, slot, axis=1)
-    v = jax.lax.dynamic_update_slice_in_dim(cache.v, slot_cache.v, slot, axis=1)
-    return logits, KVCache(k, v)
+
+    def back(a, s):
+        return (
+            jax.lax.dynamic_update_slice_in_dim(a, s, slot, axis=1)
+            if a is not None
+            else None
+        )
+
+    return logits, KVCache(
+        back(cache.k, slot_cache.k), back(cache.v, slot_cache.v),
+        back(cache.ks, slot_cache.ks), back(cache.vs, slot_cache.vs),
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))

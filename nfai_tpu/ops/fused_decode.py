@@ -56,8 +56,10 @@ def _fused_kernel(
     knew_ref,  # [1, KVD] post-rope new key row (merged heads)
     vnew_ref,  # [1, KVD] (unit dim lives in the [B, 1, KVD] operand: Mosaic
     # requires block dims to divide 8/128 or equal the array dim)
-    k_ref,  # [BS, KVD] cache stream block (layer-indexed)
+    k_ref,  # [BS, KVD] cache stream block (layer-indexed; int8 if quantized)
     v_ref,  # [BS, KVD]
+    ks_ref,  # [Hkv, BS] f32 per-(token, head) K scales, or None (bf16 cache)
+    vs_ref,  # [Hkv, BS] or None (time-minor: S on lanes)
     o_ref,  # [Hq, D]
     qbd_ref,  # VMEM [Hq, KVD] bf16: block-diagonal queries
     m_ref,  # VMEM [Hq, 128] f32 running max
@@ -111,6 +113,18 @@ def _fused_kernel(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Hq, BS] — exact per-head scores (cross-head terms hit zeros)
+        if ks_ref is not None:
+            # int8 cache: the per-(token, head) scale factors out of the D
+            # contraction — apply it on the score matrix via a tiny
+            # replication-matrix dot (row i ← kv-head i//r), never
+            # dequantizing the cache tile elementwise
+            rep_h = (
+                _iota2((hq, ks_ref.shape[0]), 0) // r
+                == _iota2((hq, ks_ref.shape[0]), 1)
+            ).astype(jnp.float32)
+            scores = scores * jax.lax.dot(
+                rep_h, ks_ref[...], preferred_element_type=jnp.float32
+            )
         if softcap:
             scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         span = kk * s_block + _iota2(scores.shape, 1)
@@ -126,6 +140,15 @@ def _fused_kernel(
             l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
             l_ref.shape,
         )
+        if vs_ref is not None:
+            # fold the V scales into the softmax weights (same factoring)
+            rep_h = (
+                _iota2((hq, vs_ref.shape[0]), 0) // r
+                == _iota2((hq, vs_ref.shape[0]), 1)
+            ).astype(jnp.float32)
+            p = p * jax.lax.dot(
+                rep_h, vs_ref[...], preferred_element_type=jnp.float32
+            )
         pv = jax.lax.dot_general(
             p,
             v_ref[...].astype(jnp.float32),
@@ -187,10 +210,16 @@ def layered_decode_attention(
     scale: float | None = None,
     softcap: float = 0.0,  # gemma2 tanh score cap (0 = off)
     window: jax.Array | int = 0,  # sliding window (0 = unlimited; traced ok)
+    k_scales: jax.Array | None = None,  # [L, B, Hkv, S] f32 (int8 cache)
+    v_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Returns attn [B, Hq, D] over cache[layer, b, :starts[b]] plus the new
     token. The caller is responsible for writing (k_new, v_new) into the
-    cache at ``starts[b]`` (see `write_all_layers` / `write_cache_rows`)."""
+    cache at ``starts[b]`` (see `write_all_layers` / `write_cache_rows`).
+
+    With `k_scales`/`v_scales`, k_cache/v_cache are int8 and the per-token
+    per-head scales are applied inside the kernel on the score matrix /
+    softmax weights — halving the attention HBM stream (see _fused_kernel)."""
     b, hq, d = q.shape
     l, _, s, kvd = k_cache.shape
     hkv = kvd // d
@@ -201,6 +230,7 @@ def layered_decode_attention(
     if scale is None:
         scale = 1.0 / (d**0.5)
     windowed = not (isinstance(window, int) and window == 0)
+    quantized = k_scales is not None
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     win_arr = jnp.asarray(window, jnp.int32).reshape(1)
 
@@ -219,28 +249,57 @@ def layered_decode_attention(
         return (lref[0], bb, kk2, 0)
 
     grid = (b, s // s_block)
-    out = pl.pallas_call(
-        functools.partial(
-            _fused_kernel, s_block=s_block, d=d, r=r, scale=scale,
-            softcap=softcap, windowed=windowed,
+    kernel = functools.partial(
+        _fused_kernel, s_block=s_block, d=d, r=r, scale=scale,
+        softcap=softcap, windowed=windowed,
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (None, hq, d), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
         ),
+        pl.BlockSpec(
+            (None, 1, kvd), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
+        ),
+        pl.BlockSpec(
+            (None, 1, kvd), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
+        ),
+        pl.BlockSpec((None, None, s_block, kvd), stream_idx),
+        pl.BlockSpec((None, None, s_block, kvd), stream_idx),
+    ]
+    args = [
+        layer_arr, win_arr, starts, q, k_new[:, None], v_new[:, None],
+        k_cache, v_cache,
+    ]
+    if quantized:
+        def stream_idx_sc(bb, kk, lref, wref, sref):
+            # same block clamping as stream_idx, but scales are [L,B,Hkv,S]
+            last = jnp.maximum(sref[bb] - 1, 0) // s_block
+            kk2 = jnp.minimum(kk, last)
+            if windowed:
+                w = wref[0]
+                lo = jnp.where(
+                    w > 0, jnp.maximum(sref[bb] - w + 1, 0) // s_block, 0
+                )
+                kk2 = jnp.clip(kk, lo, last)
+            return (lref[0], bb, 0, kk2)
+
+        in_specs += [
+            pl.BlockSpec((None, None, hkv, s_block), stream_idx_sc),
+            pl.BlockSpec((None, None, hkv, s_block), stream_idx_sc),
+        ]
+        args += [k_scales, v_scales]
+    else:
+        def kernel(*refs, _k=kernel):
+            (lr, wr, sr, qr, knr, vnr, kr, vr, o, qbd, m, l_, acc) = refs
+            return _k(lr, wr, sr, qr, knr, vnr, kr, vr, None, None,
+                      o, qbd, m, l_, acc)
+    out = pl.pallas_call(
+        kernel,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (None, hq, d), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (None, 1, kvd), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (None, 1, kvd), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
-                ),
-                pl.BlockSpec((None, None, s_block, kvd), stream_idx),
-                pl.BlockSpec((None, None, s_block, kvd), stream_idx),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (None, hq, d), lambda bb, kk, lr, wr, sr: (bb, 0, 0)
             ),
@@ -255,16 +314,7 @@ def layered_decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(
-        layer_arr,
-        win_arr,
-        starts,
-        q,
-        k_new[:, None],
-        v_new[:, None],
-        k_cache,
-        v_cache,
-    )
+    )(*args)
     return out
 
 
@@ -339,6 +389,53 @@ def write_all_layers(
         input_output_aliases={2: 0},  # cache in == out (indices incl. prefetch)
         interpret=interpret,
     )(starts, rows[:, :, None, :].astype(cache.dtype), cache)
+
+
+def _write_kernel_t(starts_ref, rows_ref, c_ref, o_ref, *, s_tile, s):
+    bb = pl.program_id(0)
+    start = starts_ref[bb]
+    idx = jax.lax.rem(start, s_tile)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s_tile), dimension=2)
+    mask = (lane == idx) & (start < s)
+    o_ref[...] = jnp.where(mask, rows_ref[...], c_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("s_tile", "interpret"))
+def write_all_layers_t(
+    arr: jax.Array,  # [L, B, H, S] time-MINOR (the int8 cache scale arrays)
+    rows: jax.Array,  # [L, B, H] new values, one per layer
+    starts: jax.Array,  # [B] int32
+    s_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """write_all_layers for the [L, B, H, S] scale arrays (S on lanes —
+    an [.., S, H] layout would pad H≈8 lanes to 128 on TPU)."""
+    l, b, h, s = arr.shape
+    s_tile = min(s_tile, s)
+    if s % s_tile:
+        raise ValueError(f"scale length {s} not divisible by s_tile {s_tile}")
+
+    def tile_idx(bb, sref):
+        return (0, bb, 0, jnp.minimum(sref[bb], s - 1) // s_tile)
+
+    return pl.pallas_call(
+        functools.partial(_write_kernel_t, s_tile=s_tile, s=s),
+        out_shape=jax.ShapeDtypeStruct(arr.shape, arr.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((l, None, h, 1), lambda bb, sref: (0, bb, 0, 0)),
+                pl.BlockSpec((l, None, h, s_tile), tile_idx),
+            ],
+            out_specs=pl.BlockSpec((l, None, h, s_tile), tile_idx),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(starts, rows[..., None].astype(arr.dtype), arr)
 
 
 def layered_decode_reference(

@@ -162,7 +162,8 @@ class InferenceEngine:
     # -- low level ---------------------------------------------------------
     def new_cache(self, batch: int = 1) -> KVCache:
         cache = KVCache.zeros(
-            self.model_cfg, batch, self.max_seq_len, self.cache_dtype
+            self.model_cfg, batch, self.max_seq_len, self.cache_dtype,
+            quantized=self.config.kv_dtype == "int8",
         )
         if self.mesh is not None:
             from ..parallel import kv_cache_sharding
@@ -617,6 +618,9 @@ class ChatSession:
         if self._cache is not None:
             arrays["cache_k"] = np.asarray(self._cache.k)
             arrays["cache_v"] = np.asarray(self._cache.v)
+            if self._cache.ks is not None:  # int8 cache scales
+                arrays["cache_ks"] = np.asarray(self._cache.ks)
+                arrays["cache_vs"] = np.asarray(self._cache.vs)
         np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
     @classmethod
@@ -654,6 +658,9 @@ class ChatSession:
                         "[L, B, S, Hkv*D])"
                     )
                 session._cache = KVCache(
-                    jnp.asarray(z["cache_k"]), jnp.asarray(z["cache_v"])
+                    jnp.asarray(z["cache_k"]),
+                    jnp.asarray(z["cache_v"]),
+                    jnp.asarray(z["cache_ks"]) if "cache_ks" in z else None,
+                    jnp.asarray(z["cache_vs"]) if "cache_vs" in z else None,
                 )
         return session

@@ -155,6 +155,12 @@ class BatchEngine:
 
         cfg = engine.config
         self.paged = cfg.paged_kv if paged is None else paged
+        if self.paged and cfg.kv_dtype == "int8":
+            # int8 KV is implemented for the dense cache paths; the paged
+            # pool keeps full precision for now — fall back to dense lanes
+            log.warning("kv_dtype=int8: paged pool unsupported, using "
+                        "dense per-slot lanes")
+            self.paged = False
         if self.paged:
             from .paged_cache import PagedKVCache, PageAllocator
 

@@ -76,6 +76,10 @@ def build_state(size, quant, batch, seq, prompt):
         "lm_head": weight(hidden, vocab, pad_n_to=512),
         "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
     }
+    if quant == "q4":
+        from nfai_tpu.ops.qtensor import to_v3
+
+        params["lm_head"] = to_v3(params["lm_head"])  # mirror load_params
     cache = KVCache.zeros(cfg, batch, seq, dtype)
     return cfg, params, cache, vocab
 

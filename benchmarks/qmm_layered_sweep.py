@@ -45,15 +45,19 @@ def run_chain(x, qs, scales, mins, n, layered):
     nn = qs.shape[-1]
     qt = QTensor(qs, scales, mins, "q4", k, nn)
 
-    def body(c, _):
+    l = qs.shape[0] if layered else 1
+
+    def body(c, i):
         if layered:
-            y = qm.qmatmul_layered(c, qt, jnp.int32(3))
+            y = qm.qmatmul_layered(c, qt, i % l)
         else:
             y = qm.qmatmul(c, qt)
-        # scalar feedback keeps each call data-dependent on the previous
-        return c + jnp.sum(y).astype(c.dtype) * 1e-12, ()
+        # full-sum feedback keeps every output element live (no DCE) and
+        # each call data-dependent on the previous
+        bump = (jnp.sum(y.astype(jnp.float32)) * 1e-12).astype(c.dtype)
+        return c + bump, ()
 
-    c, _ = jax.lax.scan(body, x, length=n)
+    c, _ = jax.lax.scan(body, x, jnp.arange(n, dtype=jnp.int32))
     return c
 
 

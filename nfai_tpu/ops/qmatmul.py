@@ -22,6 +22,7 @@ All matmuls specify preferred_element_type=f32 (MXU accumulates in f32).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,9 @@ def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
     # (b = batch*chunk rows) steps down automatically.
     budget = 12 << 20
     nprefs = (1024, 512, 256, 128) if n <= 16384 else (512, 256, 128)
+    if os.environ.get("NFAI_TILE_EXPERIMENT"):  # pragma: no cover - A/B knob
+        budget = 40 << 20
+        nprefs = (2048,) + nprefs if n <= 16384 else (1024,) + nprefs
     kprefs = (1024, 512, 256)  # tk >= 256 keeps the scale block's sublane
     # count a multiple of 8 (group 32); the fallback below preserves the old
     # small-shape paths. Decode (small b) wants TN-major (fewer grid cells
@@ -192,6 +196,8 @@ def _q8_matmul(x, qs, scales, mins=None, out_dtype=jnp.bfloat16, group=QBLOCK):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(100 << 20)
+            if os.environ.get("NFAI_TILE_EXPERIMENT") else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
@@ -297,6 +303,8 @@ def _q4_matmul(x, qs, scales, mins=None, out_dtype=jnp.bfloat16):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(100 << 20)
+            if os.environ.get("NFAI_TILE_EXPERIMENT") else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
@@ -380,6 +388,8 @@ def _q4v3_matmul(x, q32, scales, out_dtype=jnp.bfloat16):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(100 << 20)
+            if os.environ.get("NFAI_TILE_EXPERIMENT") else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
@@ -530,6 +540,8 @@ def _q8_matmul_layered(x, layer, qs, scales, mins=None,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(100 << 20)
+            if os.environ.get("NFAI_TILE_EXPERIMENT") else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
@@ -609,6 +621,8 @@ def _q4_matmul_layered(x, layer, qs, scales, mins=None, out_dtype=jnp.bfloat16):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(100 << 20)
+            if os.environ.get("NFAI_TILE_EXPERIMENT") else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
@@ -658,6 +672,8 @@ def _dense_matmul_layered(x, layer, w, out_dtype=jnp.bfloat16):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(100 << 20)
+            if os.environ.get("NFAI_TILE_EXPERIMENT") else None,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,

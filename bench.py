@@ -60,6 +60,11 @@ def main() -> int:
     p.add_argument("--hbm-gbps", type=float, default=819.0,
                    help="chip HBM bandwidth for the roofline (v5e: 819)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--fill-pos", type=int, default=0,
+                   help="start decode at this cache position (implies "
+                        "--decode-only semantics for the fill; measures "
+                        "long-context decode where attention reads the "
+                        "whole cache instead of block-skipping)")
     p.add_argument("--decode-only", action="store_true",
                    help="skip prefill (zeros cache at position --prompt); "
                         "much faster iteration when prefill is compile-cold")
@@ -190,7 +195,13 @@ def main() -> int:
 
     # -- decode ------------------------------------------------------------
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    start = jnp.full((B,), T, jnp.int32)
+    start_pos = max(args.fill_pos, T)
+    if args.fill_pos:
+        avail = args.seq - start_pos
+        if avail < args.decode_tokens + args.chunk:
+            raise SystemExit("--fill-pos leaves too little cache room")
+        log(f"long-context mode: decode starts at position {start_pos}")
+    start = jnp.full((B,), start_pos, jnp.int32)
     rng = jax.random.PRNGKey(1)
 
     def run(n_tokens, cache, first, start, rng):

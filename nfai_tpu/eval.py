@@ -39,8 +39,12 @@ def perplexity(
     token_ids: np.ndarray,
     window: int = 512,
     dtype=jnp.float32,
+    kv_quant: bool = False,
 ) -> float:
-    """Perplexity over non-overlapping windows (llama.cpp `perplexity` style)."""
+    """Perplexity over non-overlapping windows (llama.cpp `perplexity` style).
+
+    `kv_quant` scores with the int8 KV cache (EngineConfig.kv_dtype="int8")
+    so its accuracy cost is measurable against the full-precision cache."""
     from .models.llama import KVCache
 
     token_ids = np.asarray(token_ids, np.int32)
@@ -53,7 +57,7 @@ def perplexity(
     positions = jnp.arange(window, dtype=jnp.int32)[None, :]
     for w in range(n_windows):
         chunk = token_ids[w * window : (w + 1) * window]
-        cache = KVCache.zeros(cfg, 1, window, dtype)
+        cache = KVCache.zeros(cfg, 1, window, dtype, quantized=kv_quant)
         nll, count = _window_nll(
             params, cfg, jnp.asarray(chunk[None, :]), positions, cache
         )
@@ -73,6 +77,9 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="float32")
     p.add_argument("--compare", action="store_true",
                    help="evaluate both quantized and dense, report the delta")
+    p.add_argument("--kv", default="auto", choices=["auto", "int8"],
+                   help="KV cache storage during scoring (int8 adds a "
+                        "'kv-int8' result row for the accuracy delta)")
     args = p.parse_args(argv)
 
     from .gguf import GGUFFile
@@ -104,11 +111,24 @@ def main(argv=None) -> int:
             )
             results[mode] = perplexity(params, cfg, ids, args.window, dtype)
             print(f"ppl[{mode}] = {results[mode]:.4f}", file=sys.stderr)
+            if args.kv == "int8":
+                results[f"{mode}-kv-int8"] = perplexity(
+                    params, cfg, ids, args.window, dtype, kv_quant=True
+                )
+                print(
+                    f"ppl[{mode}-kv-int8] = {results[mode + '-kv-int8']:.4f}",
+                    file=sys.stderr,
+                )
             del params
 
     out = {f"ppl_{k}": round(v, 4) for k, v in results.items()}
-    if len(results) == 2:
+    if "quantized" in results and "dense" in results:
         out["ppl_delta"] = round(results["quantized"] - results["dense"], 4)
+    for mode in ("quantized", "dense"):
+        if mode in results and f"{mode}-kv-int8" in results:
+            out[f"ppl_kv_delta_{mode}"] = round(
+                results[f"{mode}-kv-int8"] - results[mode], 4
+            )
     import json
 
     print(json.dumps(out))

@@ -74,10 +74,13 @@ def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
     # output ~ 6*b*tn. Decode (b<=64) gets the big tiles; prefill
     # (b = batch*chunk rows) steps down automatically.
     budget = 12 << 20
-    nprefs = (1024, 512, 256, 128) if n <= 16384 else (512, 256, 128)
+    # Wide-but-not-huge N (8B gate_up, 28672) still wants 1024-lane tiles
+    # (+2.4% tok/s at 8B); only the 128k-vocab lm_head class prefers 512
+    # (smaller working set wins once bubbles are already amortized).
+    nprefs = (1024, 512, 256, 128) if n < 65536 else (512, 256, 128)
     if os.environ.get("NFAI_TILE_EXPERIMENT"):  # pragma: no cover - A/B knob
         budget = 40 << 20
-        nprefs = (2048,) + nprefs if n <= 16384 else (1024,) + nprefs
+        nprefs = (2048,) + nprefs
     kprefs = (1024, 512, 256)  # tk >= 256 keeps the scale block's sublane
     # count a multiple of 8 (group 32); the fallback below preserves the old
     # small-shape paths. Decode (small b) wants TN-major (fewer grid cells

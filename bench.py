@@ -151,11 +151,15 @@ def main() -> int:
         "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
     }
     if args.quant == "q4" and not args.scales_bf16 and not args.no_v3:
-        # mirror load_params: the wide-vocab head repacks to the cast-free
-        # v3 bit-decode container (ops.qtensor.to_v3)
-        from nfai_tpu.ops.qtensor import to_v3
+        # mirror load_params: all eligible 4-bit weights repack to the
+        # cast-free v3 bit-decode container (ops.qtensor)
+        from nfai_tpu.ops.qtensor import QTensor as _QT, to_v3, to_v3_stacked
 
         params["lm_head"] = to_v3(params["lm_head"])
+        params["layers"] = {
+            k: to_v3_stacked(v) if isinstance(v, _QT) else v
+            for k, v in params["layers"].items()
+        }
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     weight_bytes = sum(
         a.size * a.dtype.itemsize for a in jax.tree.leaves(params)

@@ -520,7 +520,15 @@ def load_params(
             layers["k_norm"] = [w[within] for w in layers["k_norm"]]
     if fuse:
         _fuse_projections(layers, cfg)
-    stacked = {k: put(k, stack(v)) for k, v in layers.items()}
+    from ..ops.qtensor import to_v3_stacked
+
+    # eligible 4-bit layer weights repack to the cast-free v3 bit-decode
+    # container (ops.qtensor; ~2.05x -> ~1.6x of the HBM-byte ideal in the
+    # decode kernels). No-op for q8/sectioned/TP/MoE/odd-K leaves.
+    stacked = {
+        k: put(k, to_v3_stacked(s) if isinstance(s, QTensor) else s)
+        for k, s in ((k, stack(v)) for k, v in layers.items())
+    }
 
     from ..ops.qtensor import pad_qtensor_n
 

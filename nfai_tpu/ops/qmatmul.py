@@ -331,6 +331,34 @@ def _q4_matmul(x, qs, scales, mins=None, out_dtype=jnp.bfloat16):
 # header constant folded into mins by ops.qtensor.to_v3.
 
 
+def _pick_v3_tiles(b: int, nw: int, n: int) -> tuple[int, int]:
+    """(TW, TN) for the v3 kernels: TW in int32 word rows (8 k elements
+    each), TN in lanes. Per-grid-cell VMEM (v5e scoped limit 16 MB):
+    weight int32 tile + double buffer ~8·tw·tn, four decoded bf16 planes
+    ~16·tw·tn, x plane blocks (bf16, double-buffered) ~32·b·tw, f32
+    accumulator + output ~6·b·tn. TW stays a multiple of 128 so each
+    plane's scale block keeps ≥8 sublanes (kb = tw/16). Decode (small b)
+    gets the wide tiles; prefill (b = batch·chunk rows) steps down —
+    the decode-sized (256, 1024) tile at b=1024 measured 18.5 MB scoped
+    and failed to compile."""
+    budget = 12 << 20
+    nprefs = (1024, 512, 256, 128) if n < 65536 else (512, 256, 128)
+    wprefs = (256, 128)
+    outer, inner, swap = (
+        (nprefs, wprefs, False) if b <= 64 else (wprefs, nprefs, True)
+    )
+    for t_out in outer:
+        if (nw if swap else n) % t_out:
+            continue
+        for t_in in inner:
+            tw, tn = (t_out, t_in) if swap else (t_in, t_out)
+            if n % tn or nw % tw:
+                continue
+            if 24 * tw * tn + 32 * b * tw + 6 * b * tn <= budget:
+                return tw, tn
+    return nw, n  # tiny/odd test shapes
+
+
 def _q4v3_kernel(x0, x1, x2, x3, q32_ref, s0, s1, s2, s3, o_ref, acc_ref):
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -364,8 +392,7 @@ def _q4v3_matmul(x, q32, scales, out_dtype=jnp.bfloat16):
     b, k = x.shape
     n = q32.shape[1]
     nw = k // 8  # int32 word rows
-    tw = 256 if nw % 256 == 0 else nw  # k tile (word rows); kb stays %8
-    tn = 512 if (n > 16384 and n % 512 == 0) else (1024 if n % 1024 == 0 else n)
+    tw, tn = _pick_v3_tiles(b, nw, n)
     nk = nw // tw
     tkp = 2 * tw  # k rows per plane per tile
     kb = tkp // QBLOCK  # scale rows per plane per tile
@@ -636,6 +663,107 @@ def _q4_matmul_layered(x, layer, qs, scales, mins=None, out_dtype=jnp.bfloat16):
     )(*args)
 
 
+def _q4v3l_kernel(
+    lref, x0, x1, x2, x3, bs0, bs1, bs2, bs3, q32_ref,
+    s0, s1, s2, s3, m0, m1, m2, m3, o_ref, acc_ref,
+):
+    """Layered v3 bit-decode matmul with the affine mins folded in as four
+    per-plane bsums dots (same trick as _q4l_kernel; see _q4v3_kernel for
+    the plane decode)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = q32_ref[...]
+    hdr = jnp.int32(0x40004000)
+    msk = jnp.int32(0x00780078)
+
+    def plane(shifted):
+        return pltpu.bitcast((shifted & msk) | hdr, jnp.bfloat16)
+
+    ws = [plane(w << 3), plane(w >> 5), plane(w >> 1), plane(w >> 9)]
+    for xr, wr, sr, bsr, mr in zip(
+        (x0, x1, x2, x3), ws, (s0, s1, s2, s3), (bs0, bs1, bs2, bs3),
+        (m0, m1, m2, m3),
+    ):
+        acc_ref[...] += jax.lax.dot(
+            xr[...].astype(jnp.bfloat16),
+            _scaled_deq(wr, sr[...], QBLOCK),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] -= jax.lax.dot_general(
+            bsr[...], mr[...].astype(jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _q4v3_matmul_layered(x, layer, q32, scales, mins, out_dtype=jnp.bfloat16):
+    """x [B, K] @ v3 stacked container q32 [L, K/8, N] (see ops.qtensor
+    to_v3_stacked). scales/mins [L, K/32, N] natural k order — the 4 decode
+    planes ARE contiguous k quarters."""
+    b, k = x.shape
+    n = q32.shape[2]
+    nw = k // 8
+    tw, tn = _pick_v3_tiles(b, nw, n)
+    nk = nw // tw
+    tkp = 2 * tw  # k rows per plane per tile
+    kbp = tkp // QBLOCK  # scale/bsums rows per plane per tile
+    bsums_t = jnp.sum(
+        x.astype(jnp.float32).reshape(b, k // QBLOCK, QBLOCK), axis=-1
+    ).T  # [K/32, B]
+    xspecs = [
+        pl.BlockSpec((b, tkp), lambda j, kk, lr, p=p, nk=nk: (0, kk + p * nk))
+        for p in range(4)
+    ]
+    bspecs = [
+        pl.BlockSpec((kbp, b), lambda j, kk, lr, p=p, nk=nk: (kk + p * nk, 0))
+        for p in range(4)
+    ]
+    sspecs = [
+        pl.BlockSpec(
+            (None, kbp, tn), lambda j, kk, lr, p=p, nk=nk: (lr[0], kk + p * nk, j)
+        )
+        for p in range(4)
+    ]
+    return pl.pallas_call(
+        _q4v3l_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tn, nk),
+            in_specs=xspecs
+            + bspecs
+            + [pl.BlockSpec((None, tw, tn), lambda j, kk, lr: (lr[0], kk, j))]
+            + sspecs
+            + sspecs,
+            out_specs=pl.BlockSpec((b, tn), lambda j, kk, lr: (0, j)),
+            scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=(k // 2) * n + (k // QBLOCK) * n * 8 + b * k * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x, x, x, x,
+        bsums_t, bsums_t, bsums_t, bsums_t,
+        q32,
+        scales, scales, scales, scales,
+        mins, mins, mins, mins,
+    )
+
+
 def _densel_kernel(lref, x_ref, w_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -730,6 +858,8 @@ def qmatmul_layered(
             y = _q8_matmul_layered(
                 xb, layer, qt.qs, qt.scales, qt.mins, group=qt.group
             )
+        elif qt.kind == "q4v3":
+            y = _q4v3_matmul_layered(xb, layer, qt.qs, qt.scales, qt.mins)
         else:
             y = _q4_matmul_layered(xb, layer, qt.qs, qt.scales, qt.mins)
         if y.shape[-1] != qt.n:  # N-padded container

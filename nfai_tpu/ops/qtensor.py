@@ -419,6 +419,45 @@ def to_v3(qt: QTensor) -> QTensor:
     )
 
 
+def to_v3_stacked(qt: QTensor) -> QTensor:
+    """`to_v3` for a layer-stacked QTensor (leaves [L, ...]); used by
+    load_params for decode-path layer weights. In-model evidence for the
+    switch (8B profile): every v2 nibble kernel runs ~2.05x its HBM-byte
+    ideal while the v3 lm_head runs 1.56x — the int8→bf16 casts are a
+    uniform ~2x dequant tax the bit-decode avoids. Returns `qt` unchanged
+    when ineligible (mixed/sectioned/TP/odd-K containers)."""
+    if (
+        qt.kind != "q4"
+        or qt.sections != 1
+        or qt.tp_mode is not None
+        or qt.group != QBLOCK
+        or qt.k % 2048
+        or qt.mins is None
+        or qt.qs is None
+        or np.asarray(qt.qs).ndim != 3
+    ):
+        return qt
+    byte = np.asarray(qt.qs).view(np.uint8)  # [L, K/2, N]
+    lo = byte & 0x0F
+    hi = ((byte >> 4) + 8) & 0x0F
+    q = np.concatenate([lo, hi], axis=1)  # [L, K, N] natural k order
+    sc = np.asarray(qt.scales, np.float32).copy()
+    mn = np.asarray(qt.mins, np.float32).copy()
+    half = sc.shape[1] // 2
+    sc[:, half:] *= 16.0
+    mn[:, half:] += 8.0 * sc[:, half:]
+    words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
+    return QTensor(
+        qs=jnp.asarray(words),
+        scales=jnp.asarray(8.0 * sc),
+        mins=jnp.asarray(mn + 16.0 * sc),
+        kind="q4v3",
+        k=qt.k,
+        n=qt.n,
+        group=QBLOCK,
+    )
+
+
 def _dequant_v3_values(qs32: jax.Array, k: int) -> jax.Array:
     """v3 words → bf16 [K, N] of (2 + q/8) via XLA bitcast (fallback /
     reference path; the Pallas kernel does the same with pltpu.bitcast)."""

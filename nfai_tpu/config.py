@@ -23,10 +23,25 @@ class SamplingParams:
     seed: int | None = None
     max_new_tokens: int = 512
     stop: tuple[str, ...] = ()  # stop strings (checked on the decoded text)
-    # grammar-constrained decoding: None | "json" (OpenAI json_object mode).
-    # Constrained requests run token-by-token (the vocab mask depends on
-    # every accepted token), bypassing the fused decode chunks.
+    # grammar-constrained decoding: None | "json" (OpenAI json_object mode)
+    # | "json_schema" (set `json_schema` too). Constrained requests run
+    # token-by-token (the vocab mask depends on every accepted token),
+    # bypassing the fused decode chunks.
     response_format: str | None = None
+    # structured-output extensions (see nfai_tpu.grammar): a GBNF grammar
+    # (llama.cpp format), a full-match regex, or a JSON Schema the output
+    # must conform to. At most one of grammar/regex/json_schema applies;
+    # any of them puts the request on the constrained path.
+    grammar: str | None = None
+    regex: str | None = None
+    json_schema: dict | None = None
+
+    @property
+    def constrained(self) -> bool:
+        return bool(
+            self.response_format or self.grammar or self.regex
+            or self.json_schema is not None
+        )
 
     @property
     def greedy(self) -> bool:

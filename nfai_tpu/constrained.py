@@ -345,6 +345,8 @@ class TokenConstraint:
         self.eos_ids = set(eos_ids)
         v = len(token_bytes)
         self._cache: dict[tuple, np.ndarray] = {}
+        self._stable_cache: dict[tuple, np.ndarray] = {}
+        self._cp_vals = None  # lazy codepoint index (grammar fast path)
         # string-safe: every byte stays inside IN_STRING
         safe = np.zeros(v, bool)
         unsafe_ids = []
@@ -362,7 +364,48 @@ class TokenConstraint:
         self.first_byte = {b: np.asarray(ids, np.int32)
                            for b, ids in by_first.items()}
 
-    def _walk(self, machine: JsonMachine, ids) -> np.ndarray:
+    def _ensure_cp_index(self):
+        """Per-token codepoint arrays for the vectorized stable-ranges fast
+        path (grammar machines). Tokens whose bytes are not valid complete
+        UTF-8 (byte-level BPE can split codepoints) stay on the slow walk."""
+        if self._cp_vals is not None:
+            return
+        vals, owner = [], []
+        decodable = np.zeros(len(self.token_bytes), bool)
+        for i, tb in enumerate(self.token_bytes):
+            if not tb or i in self.eos_ids:
+                continue
+            try:
+                s = tb.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            decodable[i] = True
+            for ch in s:
+                vals.append(ord(ch))
+                owner.append(i)
+        self._cp_vals = np.asarray(vals, np.int64)
+        self._cp_owner = np.asarray(owner, np.int64)
+        self._cp_decodable = decodable
+
+    def _stable_token_mask(self, ranges: tuple) -> np.ndarray:
+        """bool[V]: tokens decodable to codepoints that ALL lie in `ranges`
+        (sorted, disjoint). Such tokens provably keep the machine in the
+        same state, so they are legal without a byte walk."""
+        m = self._stable_cache.get(ranges)
+        if m is None:
+            self._ensure_cp_index()
+            starts = np.asarray([lo for lo, _ in ranges], np.int64)
+            ends = np.asarray([hi for _, hi in ranges], np.int64)
+            idx = np.searchsorted(starts, self._cp_vals, side="right") - 1
+            in_r = (idx >= 0) & (
+                self._cp_vals <= ends[np.clip(idx, 0, len(ends) - 1)]
+            )
+            m = self._cp_decodable.copy()
+            m[np.unique(self._cp_owner[~in_r])] = False
+            self._stable_cache[ranges] = m
+        return m
+
+    def _walk(self, machine, ids) -> np.ndarray:
         out = []
         tb = self.token_bytes
         for i in ids:
@@ -371,24 +414,35 @@ class TokenConstraint:
                 out.append(i)
         return np.asarray(out, np.int32)
 
-    def allowed(self, machine: JsonMachine) -> np.ndarray:
+    def allowed(self, machine) -> np.ndarray:
         """bool[V] — tokens whose whole byte string is a legal continuation.
-        EOS ids are allowed iff the machine is already complete."""
+        EOS ids are allowed iff the machine is already complete. `machine`
+        is any object with the JsonMachine protocol (grammar.GrammarMachine
+        included); machines exposing `stable_ranges()` get a vectorized
+        fast path for self-loop states."""
         key = machine.signature()
         mask = self._cache.get(key)
         if mask is None:
             v = len(self.token_bytes)
             mask = np.zeros(v, bool)
-            if machine.state == IN_STRING:
+            if isinstance(machine, JsonMachine) and machine.state == IN_STRING:
                 mask |= self.string_safe
                 ok = self._walk(machine, self.string_unsafe_ids)
                 mask[ok] = True
             else:
-                # only tokens whose FIRST byte is legal can possibly walk
+                stable = getattr(machine, "stable_ranges", None)
+                ranges = stable() if stable is not None else ()
+                if ranges:
+                    mask |= self._stable_token_mask(tuple(ranges))
+                # walk the rest, restricted to tokens whose FIRST byte is a
+                # legal continuation
                 first_ok = [b for b in self.first_byte
                             if machine.copy().advance(b)]
                 for b in first_ok:
-                    ok = self._walk(machine, self.first_byte[b])
+                    ids = self.first_byte[b]
+                    if ranges:
+                        ids = ids[~mask[ids]]
+                    ok = self._walk(machine, ids)
                     mask[ok] = True
             self._cache[key] = mask
         mask = mask.copy()

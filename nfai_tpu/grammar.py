@@ -263,7 +263,14 @@ class GrammarMachine:
             if len(st) >= MAX_STACK_DEPTH:
                 continue  # prune runaway recursion (left-recursive grammars)
             rule, alt, pos = st[-1]
-            base = st[:-1] + ((rule, alt, pos + 1),)
+            if pos + 1 == len(self.g.rules[rule][alt]):
+                # tail call: nothing left in this frame — drop it so
+                # right-recursive loops (star/plus desugaring) run at
+                # constant stack depth and their signatures repeat (cache
+                # hits + stable_ranges both depend on this)
+                base = st[:-1]
+            else:
+                base = st[:-1] + ((rule, alt, pos + 1),)
             for a in range(len(self.g.rules[el[1]])):
                 work.append(base + ((el[1], a, 0),))
         if len(out) > MAX_STACKS:
@@ -843,7 +850,8 @@ class _RegexParser:
                 if hi is not None and hi < lo:
                     self.error("{m,n} with n < m")
                 item = self._repeat(item, lo, hi)
-            if self._peek() in "*+?{" and self.p[self.i - 1] in "*+?}":
+            nxt = self._peek()
+            if nxt and nxt in "*+?" and self.p[self.i - 1] in "*+?}":
                 self.error("nested quantifier")
             elems.extend(item)
         return elems
@@ -889,21 +897,26 @@ class _SchemaBuilder:
 
     def _add_primitives(self):
         r = self.rules
-        r["ws"] = [[], [_char((0x20, 0x20), (0x09, 0x09), (0x0A, 0x0A)),
-                       (REF, "ws")]]
+        # whitespace and digit runs are BOUNDED (llama.cpp does the same in
+        # its schema converter): an unconstrained model may otherwise spin
+        # on legal-but-useless whitespace/digits until the budget closes
+        # (observed: a 17-digit exponent parsing to float inf)
+        sp = _char((0x20, 0x20), (0x09, 0x09), (0x0A, 0x0A))
+        r["ws"] = [[], [sp], [sp, _char((0x20, 0x20), (0x09, 0x09))]]
         r["j-digit"] = [[_char((0x30, 0x39))]]
-        r["j-digits"] = [[(REF, "j-digit")],
-                         [(REF, "j-digit"), (REF, "j-digits")]]
+        r["j-dig-0"] = [[]]
+        for i in range(1, 16):
+            r[f"j-dig-{i}"] = [[], [(REF, "j-digit"), (REF, f"j-dig-{i-1}")]]
+        r["j-digits"] = [[(REF, "j-digit"), (REF, "j-dig-15")]]
         r["j-int"] = [
             [_char((0x30, 0x30))],
-            [_char((0x31, 0x39))],
-            [_char((0x31, 0x39)), (REF, "j-digits")],
+            [_char((0x31, 0x39)), (REF, "j-dig-15")],
         ]
         r["j-frac"] = [[], _lit_elems(".") + [(REF, "j-digits")]]
         r["j-exp"] = [
             [],
             [_char((0x65, 0x65), (0x45, 0x45)), (REF, "j-sign"),
-             (REF, "j-digits")],
+             (REF, "j-digit"), (REF, "j-dig-3")],
         ]
         r["j-sign"] = [[], [_char((0x2B, 0x2B), (0x2D, 0x2D))]]
         r["j-minus"] = [[], _lit_elems("-")]

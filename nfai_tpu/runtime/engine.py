@@ -239,7 +239,7 @@ class InferenceEngine:
         t0 = time.perf_counter()
         logits, cache = self.prefill(cache, prompt_ids, start_pos)
         pos = start_pos + len(prompt_ids)
-        if sampling.response_format:
+        if sampling.constrained:
             metrics.prompt_tokens = len(prompt_ids)
             yield from self._generate_constrained(
                 logits, pos, cache, sampling, metrics, key, t0
@@ -458,18 +458,22 @@ class InferenceEngine:
     def _generate_constrained(
         self, logits, pos, cache, sampling, metrics, key, t0
     ) -> Iterator[int]:
-        """Grammar-constrained decoding (response_format="json"): before
-        every sample the host JSON automaton produces a bool[V] mask of
+        """Grammar-constrained decoding (response_format="json" /
+        "json_schema", SamplingParams.grammar GBNF, or .regex): before
+        every sample the host automaton produces a bool[V] mask of
         legal continuations; illegal tokens go to -inf and sampling stays
         on device. Runs token-by-token (decode_step) — the mask depends on
         each accepted token — so it pays per-dispatch latency instead of
         using the fused chunks. Near the token budget it switches to
-        "closing" masks so the output terminates as *valid* JSON instead
-        of truncating mid-structure (see constrained.closing_allowed)."""
+        "closing" masks so the output terminates as a *complete* match
+        instead of truncating mid-structure (closing_allowed)."""
         from ..constrained import JsonMachine
+        from ..grammar import machine_for
 
         cons = self.json_constraint
-        machine = JsonMachine(require_object=True)
+        machine = machine_for(sampling)
+        if machine is None:
+            machine = JsonMachine(require_object=True)
         vocab = self.model_cfg.vocab_size
         emitted = 0
         first = True

@@ -56,15 +56,45 @@ def _sampling_from_body(body: dict) -> SamplingParams:
     logit_bias = tuple(
         (int(k), max(-100.0, min(100.0, float(v)))) for k, v in bias.items()
     )
-    # OpenAI response_format: {"type": "json_object"} -> JSON-constrained
+    # OpenAI response_format: {"type": "json_object"} -> JSON-constrained;
+    # {"type": "json_schema", "json_schema": {"schema": {...}}} -> schema-
+    # constrained (strict structured outputs). Extension body params
+    # (llama.cpp-compatible): "grammar" (GBNF text), "regex" (full match).
     rf = body.get("response_format") or {}
     rf_type = rf.get("type") if isinstance(rf, dict) else str(rf)
+    json_schema = None
     if rf_type in (None, "text"):
         response_format = None
     elif rf_type in ("json_object", "json"):
         response_format = "json"
+    elif rf_type == "json_schema":
+        wrapper = rf.get("json_schema") if isinstance(rf, dict) else None
+        if not isinstance(wrapper, dict):
+            raise ValueError("response_format json_schema needs a "
+                             '"json_schema" object')
+        json_schema = wrapper.get("schema", wrapper)
+        if not isinstance(json_schema, (dict, bool)):
+            raise ValueError("json_schema.schema must be an object")
+        response_format = "json_schema"
     else:
         raise ValueError(f"unsupported response_format type {rf_type!r}")
+    grammar = body.get("grammar")
+    regex = body.get("regex")
+    if sum(x is not None for x in (grammar, regex, json_schema)) > 1:
+        raise ValueError("at most one of grammar/regex/json_schema")
+    if grammar is not None or regex is not None:
+        from .grammar import parse_gbnf, regex_to_grammar
+
+        # validate at request time so bad grammars 400 instead of killing
+        # the generation worker
+        if grammar is not None:
+            parse_gbnf(str(grammar))
+        if regex is not None:
+            regex_to_grammar(str(regex))
+    if json_schema is not None:
+        from .grammar import json_schema_to_grammar
+
+        json_schema_to_grammar(json_schema)
     return SamplingParams(
         temperature=float(body.get("temperature", 0.5)),
         top_k=int(body.get("top_k", 40)),
@@ -79,6 +109,9 @@ def _sampling_from_body(body: dict) -> SamplingParams:
         ),
         stop=tuple(str(s) for s in stop),
         response_format=response_format,
+        grammar=str(grammar) if grammar is not None else None,
+        regex=str(regex) if regex is not None else None,
+        json_schema=json_schema,
     )
 
 
@@ -223,7 +256,7 @@ def make_handler(state: ServerState):
         def _generate(self, body: dict, prompt_ids: list[int], chat: bool):
             eng = state.engine
             sampling = _sampling_from_body(body)
-            if sampling.response_format:
+            if sampling.constrained:
                 req = _DirectRequest(
                     eng, prompt_ids, sampling, state.constrained_lock
                 )

@@ -170,3 +170,58 @@ def test_stop_sequences(server):
     ) as r:
         body = json.loads(r.read())
     assert "\n" not in body["choices"][0]["message"]["content"]
+
+
+def test_json_schema_response_format(server):
+    schema = {
+        "type": "object",
+        "properties": {"a": {"type": "integer"},
+                       "b": {"type": "boolean"}},
+        "required": ["a", "b"],
+    }
+    with _post(
+        server,
+        "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "emit"}],
+            "temperature": 0.8,
+            "seed": 4,
+            "max_tokens": 48,
+            "response_format": {"type": "json_schema",
+                                "json_schema": {"name": "t",
+                                                "schema": schema}},
+        },
+    ) as r:
+        body = json.loads(r.read())
+    obj = json.loads(body["choices"][0]["message"]["content"])
+    assert isinstance(obj["a"], int) and isinstance(obj["b"], bool)
+
+
+def test_grammar_body_param(server):
+    with _post(
+        server,
+        "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "emit"}],
+            "temperature": 0.8,
+            "seed": 9,
+            "max_tokens": 24,
+            "grammar": 'root ::= "ok:" [0-9]+',
+        },
+    ) as r:
+        body = json.loads(r.read())
+    text = body["choices"][0]["message"]["content"]
+    assert text.startswith("ok:") and text[3:].isdigit(), text
+
+
+def test_bad_grammar_rejected(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(
+            server,
+            "/v1/chat/completions",
+            {
+                "messages": [{"role": "user", "content": "x"}],
+                "grammar": 'root ::= "unterminated',
+            },
+        )
+    assert ei.value.code == 400

@@ -694,6 +694,13 @@ def _gather_pages(pages: jax.Array, tables: jax.Array) -> jax.Array:
     return g.transpose(1, 2, 3, 0, 4).reshape(b, np_ * ps, hkv * d)
 
 
+def _gather_page_scales(spool: jax.Array, tables: jax.Array) -> jax.Array:
+    """[Hkv, P, ps] + [B, NP] -> dense [B, Hkv, NP*ps] time-minor scales."""
+    g = jnp.take(spool, tables, axis=1)  # [Hkv, B, NP, ps]
+    hkv, b, np_, ps = g.shape
+    return g.transpose(1, 0, 2, 3).reshape(b, hkv, np_ * ps)
+
+
 def _paged_attention(
     q: jax.Array,  # [B, T, Hq, D]
     k_pages: jax.Array,  # [Hkv, P, ps, D]
@@ -704,12 +711,16 @@ def _paged_attention(
     scale: float | None = None,
     softcap: float = 0.0,
     window: jax.Array | int = 0,
+    k_scales: jax.Array | None = None,  # [Hkv, P, ps] (int8 pool)
+    v_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Attention of new tokens against paged KV (already written).
 
     T == 1 takes the block-table Pallas kernel (page-skip past each
     sequence's length); prefill chunks gather the sequence's pages into a
-    dense view and reuse the masked dense path.
+    dense view and reuse the masked dense path. With `k_scales`/`v_scales`
+    the pool is int8: the decode kernel applies scales per score column,
+    the prefill path dequantizes the gathered view.
     """
     b, t, hq, d = q.shape
     if t == 1:
@@ -725,10 +736,15 @@ def _paged_attention(
             scale=scale,
             softcap=softcap,
             window=window,
+            k_scales=k_scales,
+            v_scales=v_scales,
         )
         return out[:, None].astype(q.dtype)
     kd = _gather_pages(k_pages, tables)
     vd = _gather_pages(v_pages, tables)
+    if k_scales is not None:
+        kd = dequant_kv(kd, _gather_page_scales(k_scales, tables), q.dtype)
+        vd = dequant_kv(vd, _gather_page_scales(v_scales, tables), q.dtype)
     return _cached_attention(
         q, kd, vd, positions, scale=scale, softcap=softcap, window=window
     )
@@ -1041,13 +1057,30 @@ def forward(
             window=win if cfg.swa_pattern else 0,
         )
         if page_tables is not None:
-            from ..runtime.paged_cache import write_paged
+            from ..runtime.paged_cache import write_paged, write_paged_scales
 
-            k_cache_l = write_paged(k_cache_l, k, page_tables, positions)
-            v_cache_l = write_paged(v_cache_l, v, page_tables, positions)
-            attn = _paged_attention(
-                q, k_cache_l, v_cache_l, page_tables, positions, **attn_kw
-            )
+            if quant:
+                hkv, hd = cfg.n_kv_heads, cfg.head_dim
+                kq, ksc = quantize_kv(k.reshape(b, t, kvd), hkv)
+                vq, vsc = quantize_kv(v.reshape(b, t, kvd), hkv)
+                k_cache_l = write_paged(
+                    k_cache_l, kq.reshape(b, t, hkv, hd), page_tables, positions
+                )
+                v_cache_l = write_paged(
+                    v_cache_l, vq.reshape(b, t, hkv, hd), page_tables, positions
+                )
+                ks_l = write_paged_scales(ks_l, ksc, page_tables, positions)
+                vs_l = write_paged_scales(vs_l, vsc, page_tables, positions)
+                attn = _paged_attention(
+                    q, k_cache_l, v_cache_l, page_tables, positions,
+                    k_scales=ks_l, v_scales=vs_l, **attn_kw,
+                )
+            else:
+                k_cache_l = write_paged(k_cache_l, k, page_tables, positions)
+                v_cache_l = write_paged(v_cache_l, v, page_tables, positions)
+                attn = _paged_attention(
+                    q, k_cache_l, v_cache_l, page_tables, positions, **attn_kw
+                )
         elif quant:
             hkv, hd = cfg.n_kv_heads, cfg.head_dim
             kq, ksc = quantize_kv(k.reshape(b, t, kvd), hkv)
@@ -1122,7 +1155,7 @@ def forward(
             (params["layers"], cache.k, cache.v, cache.ks, cache.vs,
              windows, is_local),
         )
-        new_cache = KVCache(new_k, new_v, new_ks, new_vs)
+        new_cache = type(cache)(new_k, new_v, new_ks, new_vs)
     else:
         h, (new_k, new_v) = jax.lax.scan(
             layer_step, h,

@@ -31,18 +31,20 @@ def _paged_kernel(
     len_ref,  # SMEM [B] int32 valid lengths
     win_ref,  # SMEM [1] int32 sliding window (0 = unlimited)
     q_ref,  # [R, D]
-    k_ref,  # [page, D]
+    k_ref,  # [page, D] (int8 when quantized)
     v_ref,  # [page, D]
-    o_ref,  # [R, D]
-    m_ref,  # VMEM [R, 128]
-    l_ref,  # VMEM [R, 128]
-    acc_ref,  # VMEM [R, D]
-    *,
+    *rest,  # ([ks_ref, vs_ref] when quantized,) o_ref, m/l/acc scratch
     page_size: int,
     scale: float,
     softcap: float,
     windowed: bool,
+    quantized: bool = False,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
     kk = pl.program_id(2)
     length = len_ref[pl.program_id(0)]
     win = win_ref[0]
@@ -65,6 +67,11 @@ def _paged_kernel(
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [R, page]
+        if quantized:
+            # per-token scale factors out of the D contraction: one
+            # broadcast multiply per score column instead of dequantizing
+            # the whole page
+            scores = scores * ks_ref[...]  # [1, page] broadcast
         if softcap:
             scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         span = kk * page_size + jax.lax.broadcasted_iota(
@@ -81,6 +88,9 @@ def _paged_kernel(
         corr = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new)
         l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            # fold the v scale into the softmax weights
+            p = p * vs_ref[...]
         pv = jax.lax.dot_general(
             p,
             v_ref[...].astype(jnp.float32),
@@ -110,9 +120,13 @@ def paged_flash_decode_attention(
     scale: float | None = None,
     softcap: float = 0.0,
     window: jax.Array | int = 0,
+    k_scales: jax.Array | None = None,  # [Hkv, P, page] f32 (int8 pool)
+    v_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Returns [B, Hq, D]; positions >= lengths masked; pages beyond the
-    sequence's length are never fetched (`pl.when` block skip)."""
+    sequence's length are never fetched (`pl.when` block skip). With
+    `k_scales`/`v_scales` the pool is int8 and per-token scales ride the
+    same block tables (applied per score column / softmax weight)."""
     b, hq, d = q.shape
     hkv, _, page_size, _ = k_pages.shape
     max_pages = block_tables.shape[1]
@@ -122,37 +136,49 @@ def paged_flash_decode_attention(
         scale = 1.0 / (d**0.5)
     windowed = not (isinstance(window, int) and window == 0)
     win_arr = jnp.asarray(window, jnp.int32).reshape(1)
+    quantized = k_scales is not None
+
+    page_spec = pl.BlockSpec(
+        (None, None, page_size, d),
+        lambda bb, h, kk, tbl: (h, tbl[bb, kk], 0, 0),
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (b,), lambda bb, h, kk, tbl: (0,), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (1,), lambda bb, h, kk, tbl: (0,), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (None, None, r, d), lambda bb, h, kk, tbl: (bb, h, 0, 0)
+        ),
+        # the page indirection: block (h, tbl[b, kk]) of the pool
+        page_spec,
+        page_spec,
+    ]
+    args = [block_tables, lengths, win_arr, qg, k_pages, v_pages]
+    if quantized:
+        sspec = pl.BlockSpec(
+            (None, None, 1, page_size),
+            lambda bb, h, kk, tbl: (h, tbl[bb, kk], 0, 0),
+        )
+        in_specs += [sspec, sspec]
+        args += [
+            k_scales.reshape(hkv, -1, 1, page_size),
+            v_scales.reshape(hkv, -1, 1, page_size),
+        ]
 
     grid = (b, hkv, max_pages)
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel, page_size=page_size, scale=scale, softcap=softcap,
-            windowed=windowed,
+            windowed=windowed, quantized=quantized,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, r, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (b,), lambda bb, h, kk, tbl: (0,), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec(
-                    (1,), lambda bb, h, kk, tbl: (0,), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec(
-                    (None, None, r, d), lambda bb, h, kk, tbl: (bb, h, 0, 0)
-                ),
-                # the page indirection: block (h, tbl[b, kk]) of the pool
-                pl.BlockSpec(
-                    (None, None, page_size, d),
-                    lambda bb, h, kk, tbl: (h, tbl[bb, kk], 0, 0),
-                ),
-                pl.BlockSpec(
-                    (None, None, page_size, d),
-                    lambda bb, h, kk, tbl: (h, tbl[bb, kk], 0, 0),
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (None, None, r, d), lambda bb, h, kk, tbl: (bb, h, 0, 0)
             ),
@@ -166,7 +192,7 @@ def paged_flash_decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_tables, lengths, win_arr, qg, k_pages, v_pages)
+    )(*args)
     return out.reshape(b, hq, d)
 
 

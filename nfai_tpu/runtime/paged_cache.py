@@ -35,17 +35,36 @@ PAGE_SIZE = 128
 
 
 class PagedKVCache(NamedTuple):
-    """Device pool. k/v: [L, Hkv, P, page_size, D]."""
+    """Device pool. k/v: [L, Hkv, P, page_size, D].
+
+    Quantized pool (EngineConfig.kv_dtype="int8"): k/v are int8 and ks/vs
+    hold the per-(token, kv-head) f32 scales as [L, Hkv, P, page_size] —
+    the page token axis sits on lanes (time-minor, same lesson as the
+    dense cache's [L,B,Hkv,S] layout). Scale pages share the block tables
+    with their KV pages, so prefix sharing carries over unchanged."""
 
     k: jax.Array
     v: jax.Array
+    ks: jax.Array | None = None  # [L, Hkv, P, page_size] f32 (int8 only)
+    vs: jax.Array | None = None
 
     @classmethod
     def zeros(
-        cls, cfg, n_pages: int, page_size: int = PAGE_SIZE, dtype=jnp.bfloat16
+        cls, cfg, n_pages: int, page_size: int = PAGE_SIZE, dtype=jnp.bfloat16,
+        quantized: bool = False,
     ) -> "PagedKVCache":
         shape = (cfg.n_layers, cfg.n_kv_heads, n_pages, page_size, cfg.head_dim)
+        if quantized:
+            sshape = shape[:-1]
+            return cls(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32),
+            )
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
 
     @property
     def n_pages(self) -> int:
@@ -195,3 +214,18 @@ def write_paged(
     flat = pages.reshape(hkv, p * ps, d)
     flat = flat.at[:, flat_idx].set(rows)
     return flat.reshape(hkv, p, ps, d)
+
+
+def write_paged_scales(
+    spool: jax.Array,  # [Hkv, P, ps] one layer's scale pool
+    new: jax.Array,  # [B, T, Hkv] per-token scales (quantize_kv output)
+    slot_pages: jax.Array,  # [B, max_pages]
+    positions: jax.Array,  # [B, T]
+) -> jax.Array:
+    """`write_paged` for the int8 pool's scale pages (same indexing)."""
+    hkv, p, ps = spool.shape
+    page_idx = jnp.take_along_axis(slot_pages, positions // ps, axis=1)
+    flat_idx = (page_idx * ps + positions % ps).reshape(-1)  # [B*T]
+    rows = jnp.moveaxis(new.astype(spool.dtype), 2, 0).reshape(hkv, -1)
+    flat = spool.reshape(hkv, p * ps)
+    return flat.at[:, flat_idx].set(rows).reshape(hkv, p, ps)

@@ -155,12 +155,6 @@ class BatchEngine:
 
         cfg = engine.config
         self.paged = cfg.paged_kv if paged is None else paged
-        if self.paged and cfg.kv_dtype == "int8":
-            # int8 KV is implemented for the dense cache paths; the paged
-            # pool keeps full precision for now — fall back to dense lanes
-            log.warning("kv_dtype=int8: paged pool unsupported, using "
-                        "dense per-slot lanes")
-            self.paged = False
         if self.paged:
             from .paged_cache import PagedKVCache, PageAllocator
 
@@ -173,12 +167,14 @@ class BatchEngine:
             self.max_pages = -(-engine.max_seq_len // ps)
             self.alloc = PageAllocator(n_pages, ps)
             self.cache = PagedKVCache.zeros(
-                engine.model_cfg, n_pages, ps, engine.cache_dtype
+                engine.model_cfg, n_pages, ps, engine.cache_dtype,
+                quantized=cfg.kv_dtype == "int8",
             )
             log.info(
-                "paged KV pool: %d pages x %d tokens (%.1f MB)",
+                "paged KV pool: %d pages x %d tokens (%.1f MB%s)",
                 n_pages, ps,
-                self.cache.k.nbytes * 2 / 1e6,
+                sum(a.nbytes for a in self.cache if a is not None) / 1e6,
+                ", int8" if self.cache.quantized else "",
             )
         else:
             self.cache = engine.new_cache(max_batch)

@@ -127,22 +127,76 @@ def test_engine_int8_end_to_end(tmp_path):
     assert restored._cache is not None and restored._cache.ks is not None
 
 
-def test_batch_engine_int8_falls_back_dense(tmp_path):
+def test_paged_int8_kernel_parity():
+    """int8 paged pool + scales through the block-table kernel matches the
+    dense reference on the dequantized pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from nfai_tpu.models.llama import quantize_kv
+    from nfai_tpu.ops.paged_attention import (
+        paged_attention_reference,
+        paged_flash_decode_attention,
+    )
+
+    rng = np.random.default_rng(3)
+    b, hq, hkv, d, ps, npages = 2, 8, 4, 64, 16, 9
+    tables = jnp.asarray([[1, 3, 5, 7], [2, 4, 6, 8]], jnp.int32)
+    lengths = jnp.asarray([37, 52], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kd = rng.standard_normal((hkv, npages, ps, d)).astype(np.float32)
+    vd = rng.standard_normal((hkv, npages, ps, d)).astype(np.float32)
+    # quantize per (page-token, head): reshape to [..., H*D] rows
+    kq, ks = quantize_kv(
+        jnp.asarray(kd).transpose(1, 2, 0, 3).reshape(npages, ps, hkv * d), hkv
+    )
+    vq, vs = quantize_kv(
+        jnp.asarray(vd).transpose(1, 2, 0, 3).reshape(npages, ps, hkv * d), hkv
+    )
+    k_pages = kq.reshape(npages, ps, hkv, d).transpose(2, 0, 1, 3)
+    v_pages = vq.reshape(npages, ps, hkv, d).transpose(2, 0, 1, 3)
+    ksp = ks.transpose(2, 0, 1)  # [Hkv, P, ps]
+    vsp = vs.transpose(2, 0, 1)
+    out = paged_flash_decode_attention(
+        q, k_pages, v_pages, tables, lengths, interpret=True,
+        k_scales=ksp, v_scales=vsp,
+    )
+    # reference on the dequantized dense pool
+    kdeq = k_pages.astype(jnp.float32) * ksp[..., None]
+    vdeq = v_pages.astype(jnp.float32) * vsp[..., None]
+    ref = paged_attention_reference(
+        q, kdeq.astype(jnp.float32), vdeq.astype(jnp.float32), tables, lengths
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_batch_engine_int8_paged(tmp_path):
+    """int8 KV now runs on the paged pool (capacity + prefix sharing keep
+    working); greedy output matches the bf16-paged run on a tiny model."""
     from nfai_tpu.config import EngineConfig, SamplingParams
     from nfai_tpu.runtime.engine import InferenceEngine
     from nfai_tpu.runtime.scheduler import BatchEngine
 
     path = _tiny(tmp_path, "kv8b.gguf")
-    eng = InferenceEngine(
-        path,
-        EngineConfig(max_seq_len=64, dtype="float32", kv_dtype="int8",
-                     paged_kv=True),
-    )
-    be = BatchEngine(eng, max_batch=2)
-    assert not be.paged  # int8 forces dense lanes
-    req = be.submit([1, 2, 3], SamplingParams(temperature=0.0,
-                                              max_new_tokens=6))
-    be.start()
-    toks = list(req.stream(timeout=120))
-    assert len(toks) == 6
-    be.close()
+    outs = {}
+    for kv in ("auto", "int8"):
+        eng = InferenceEngine(
+            path,
+            EngineConfig(max_seq_len=64, dtype="float32", kv_dtype=kv,
+                         paged_kv=True),
+        )
+        be = BatchEngine(eng, max_batch=2)
+        assert be.paged
+        if kv == "int8":
+            assert be.cache.quantized and be.cache.ks is not None
+        req = be.submit([1, 2, 3], SamplingParams(temperature=0.0,
+                                                  max_new_tokens=6))
+        be.start()
+        outs[kv] = list(req.stream(timeout=120))
+        be.close()
+    assert len(outs["int8"]) == 6
+    # tiny f32 model: int8 KV error is far below the argmax margin
+    assert outs["int8"] == outs["auto"]

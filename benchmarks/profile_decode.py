@@ -77,9 +77,14 @@ def build_state(size, quant, batch, seq, prompt):
         "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
     }
     if quant == "q4":
-        from nfai_tpu.ops.qtensor import to_v3
+        from nfai_tpu.ops.qtensor import QTensor as _QT, to_v3, to_v3_stacked
 
-        params["lm_head"] = to_v3(params["lm_head"])  # mirror load_params
+        # mirror load_params: v3 bit-decode containers everywhere eligible
+        params["lm_head"] = to_v3(params["lm_head"])
+        params["layers"] = {
+            kk: to_v3_stacked(vv) if isinstance(vv, _QT) else vv
+            for kk, vv in params["layers"].items()
+        }
     cache = KVCache.zeros(cfg, batch, seq, dtype)
     return cfg, params, cache, vocab
 

@@ -75,6 +75,10 @@ class EngineConfig:
     speculative: str = "off"
     spec_tokens: int = 8  # draft length gamma (one verify forward per draft)
     spec_ngram: int = 3  # n-gram length used for the lookup
+    # draft->verify->accept rounds fused into ONE device dispatch
+    # (models.llama.spec_decode_rounds): amortizes the per-dispatch latency
+    # across `spec_rounds` verifies
+    spec_rounds: int = 4
     # KV cache storage: "auto" (= activation dtype) | "int8" (per-token
     # per-head symmetric quantization — halves decode attention HBM
     # traffic and doubles cache capacity; dense cache paths only: the

@@ -1217,6 +1217,141 @@ def verify_step(
     return logits_for(params, h, cfg), cache
 
 
+def _ngram_draft_device(
+    hist: jax.Array,  # [B, S] int32 (tokens 0..hlen-1 valid, incl. pending)
+    hlen: jax.Array,  # [B]
+    n: int,
+    gamma: int,
+) -> tuple[jax.Array, jax.Array]:
+    """On-device prompt-lookup draft: most recent position whose n-gram
+    equals the trailing n-gram; the following `gamma` tokens are the draft.
+    Returns (draft [B, gamma], found [B]). On a miss (or a continuation
+    running past the history) the draft repeats the last token — the
+    verify step rejects bad drafts, so a miss only costs acceptance."""
+    b, s = hist.shape
+    qidx = hlen[:, None] + jnp.arange(-n, 0, dtype=jnp.int32)[None]
+    q = jnp.take_along_axis(hist, jnp.clip(qidx, 0, s - 1), axis=1)  # [B, n]
+    pad = jnp.full((b, n), -1, hist.dtype)  # -1 never matches a real token
+    hp = jnp.concatenate([hist, pad], axis=1)
+    win = jnp.stack([hp[:, i:i + s] for i in range(n)], axis=-1)  # [B, S, n]
+    match = jnp.all(win == q[:, None, :], axis=-1)  # [B, S]
+    posr = jnp.arange(s, dtype=jnp.int32)[None]
+    valid = match & (posr < hlen[:, None] - n)  # exclude the query itself
+    best = jnp.max(jnp.where(valid, posr, -1), axis=1)  # [B]
+    found = (best >= 0) & (hlen >= n + 1)
+    didx = best[:, None] + n + jnp.arange(gamma, dtype=jnp.int32)[None]
+    last = jnp.take_along_axis(hist, jnp.clip(hlen[:, None] - 1, 0, s - 1), 1)
+    cont = jnp.take_along_axis(hist, jnp.clip(didx, 0, s - 1), 1)
+    draft = jnp.where(
+        found[:, None] & (didx < hlen[:, None]), cont, last
+    )
+    return draft, found
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_rounds", "gamma", "ngram"),
+    donate_argnames=("cache", "hist"),
+)
+def spec_decode_rounds(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B] pending (sampled, not yet emitted) token ids
+    positions: jax.Array,  # [B] their absolute positions
+    cache: KVCache,
+    hist: jax.Array,  # [B, S] token history incl. the pending token
+    hist_len: jax.Array,  # [B] valid entries in hist
+    eos_ids: jax.Array,  # [E] int32 (pad with -1)
+    active: jax.Array,  # [B] bool
+    n_rounds: int,
+    gamma: int,
+    ngram: int,
+) -> tuple:
+    """Fused greedy speculative decoding: `n_rounds` of (on-device n-gram
+    draft → ONE verify forward of gamma+1 tokens → longest-prefix accept)
+    in a single jitted call — the host-loop version pays the full dispatch
+    latency per verify (~26 ms on a tunneled chip), this pays it once per
+    `n_rounds`. Greedy only (matches plain argmax decoding exactly).
+
+    A lane deactivates when its pending token is EOS, an accepted draft
+    hits EOS, or the cache lacks room for a full round; its state freezes
+    (pos/hist stop advancing, verify writes are redirected to its frozen
+    positions, mirroring `decode_loop`'s inactive-lane convention).
+
+    Returns (out_tokens [B, n_rounds*(gamma+1)], out_counts [B],
+    next_tokens [B], next_pos [B], cache, hist, hist_len, active [B],
+    drafted [B], accepted [B]). out_tokens[b, :out_counts[b]] are the
+    emitted tokens in order (EOS excluded — a lane stops before it)."""
+    b = tokens.shape[0]
+    s_cache = cache.max_seq if hasattr(cache, "max_seq") else hist.shape[1]
+    t = gamma + 1
+    n_out = n_rounds * t
+    jt = jnp.arange(t, dtype=jnp.int32)[None]  # [1, T]
+
+    def is_eos(x):  # x [...]: True where token is one of eos_ids
+        return jnp.any(x[..., None] == eos_ids[None], axis=-1)
+
+    def round_body(carry, _):
+        tok, pos, cache, hist, hlen, outs, ocnt, act, drafted, accepted = carry
+        act = act & ~is_eos(tok) & (pos + t <= s_cache)
+        draft, _found = _ngram_draft_device(hist, hlen, ngram, gamma)
+        tin = jnp.concatenate([tok[:, None], draft], axis=1)  # [B, T]
+        posv = jnp.where(act[:, None], pos[:, None] + jt, pos[:, None])
+        posv = jnp.clip(posv, 0, s_cache - 1)
+        h, cache = forward(params, cfg, tin, posv, cache, uniform_start=False)
+        nxt = jnp.argmax(
+            logits_for(params, h, cfg).astype(jnp.float32), axis=-1
+        ).astype(jnp.int32)  # [B, T]
+        ok = (draft == nxt[:, :-1]).astype(jnp.int32)  # [B, gamma]
+        n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # [B] 0..gamma
+        e = n_acc + 1  # tokens this round: tin[:, :e] ([tok] + accepted)
+        # truncate at the first EOS among the emitted tokens (excluded)
+        emit_eos = is_eos(tin) & (jt < e[:, None])
+        first_eos = jnp.min(
+            jnp.where(emit_eos, jt, n_out), axis=1
+        )  # T sentinel
+        hit_eos = first_eos < e
+        e = jnp.where(hit_eos, first_eos, e)
+        e = jnp.where(act, e, 0)
+        # next pending token: greedy continuation after the accepted prefix
+        new_tok = jnp.take_along_axis(nxt, n_acc[:, None], axis=1)[:, 0]
+        new_tok = jnp.where(act & ~hit_eos, new_tok, tok)
+        # scatter emitted tokens into the output buffer
+        bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        oidx = jnp.where(jt < e[:, None], ocnt[:, None] + jt, n_out)
+        outs = outs.at[bidx, oidx].set(tin, mode="drop")
+        # append [accepted drafts, new pending] to the history (hist already
+        # ends with `tok`); frozen / EOS-terminated lanes write nothing
+        entries = jnp.concatenate(
+            [tin[:, 1:], jnp.zeros((b, 1), tin.dtype)], axis=1
+        )  # entries[j] = tin[j+1]
+        entries = jnp.where(jt == (e - 1)[:, None], new_tok[:, None], entries)
+        write = act[:, None] & ~hit_eos[:, None] & (jt < e[:, None])
+        hidx = jnp.where(write, hlen[:, None] + jt, hist.shape[1])
+        hist = hist.at[bidx, hidx].set(entries, mode="drop")
+        adv = jnp.where(act, e, 0)
+        drafted = drafted + jnp.where(act, gamma, 0)
+        accepted = accepted + jnp.where(act, n_acc, 0)
+        act = act & ~hit_eos
+        return (
+            new_tok, pos + adv, cache, hist, hlen + adv, outs, ocnt + adv,
+            act, drafted, accepted,
+        ), None
+
+    outs0 = jnp.zeros((b, n_out), jnp.int32)
+    zero = jnp.zeros((b,), jnp.int32)
+    (tok, pos, cache, hist, hlen, outs, ocnt, act, drafted, accepted), _ = (
+        jax.lax.scan(
+            round_body,
+            (tokens, positions, cache, hist, hist_len, outs0, zero,
+             active, zero, zero),
+            None,
+            length=n_rounds,
+        )
+    )
+    return outs, ocnt, tok, pos, cache, hist, hlen, act, drafted, accepted
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def decode_step(
     params: dict,

@@ -26,7 +26,7 @@ import numpy as np
 from ..config import EngineConfig, SamplingParams
 from ..gguf import GGUFFile, Keys
 from ..models import KVCache, prefill_step, resolve
-from ..models.llama import decode_loop, decode_step, verify_step
+from ..models.llama import decode_loop, decode_step
 from ..ops.sampling import sample_logits
 from ..tokenizer import (
     ChatTemplate,
@@ -353,19 +353,35 @@ class InferenceEngine:
     def _generate_ngram(
         self, token, pos, cache, history, sampling, metrics
     ) -> Iterator[int]:
-        """Prompt-lookup speculative decoding (greedy): draft the next
-        `spec_tokens` from the most recent n-gram match in prompt+output,
-        verify all of them in ONE forward (models.llama.verify_step), accept
-        the longest matching prefix. Typical 2-4x decode speedup on
-        repetitive text (extraction, code, summaries quoting the prompt);
-        on lookup misses it falls back to fused greedy chunks, so it is
-        never slower than ~the plain path. No draft model needed."""
+        """Prompt-lookup speculative decoding (greedy), fully fused:
+        models.llama.spec_decode_rounds runs `spec_rounds` rounds of
+        (on-device n-gram draft → ONE verify forward → longest-prefix
+        accept) per dispatch, so the per-dispatch latency (~26 ms on a
+        tunneled chip) is paid once per `spec_rounds` verifies instead of
+        per verify. Output matches plain greedy EXACTLY. On sustained
+        rejection it interleaves plain fused greedy chunks (more tokens
+        per dispatch when drafts never hit), and the cache tail takes the
+        plain path. No draft model needed."""
+        from ..models.llama import spec_decode_rounds
+
         gamma = max(1, self.config.spec_tokens)
         n = max(1, self.config.spec_ngram)
+        rounds = max(1, self.config.spec_rounds)
         t_dec = time.perf_counter()
         emitted = 0
         tok_id = int(token[0])
-        arange = jnp.arange(gamma + 1, dtype=jnp.int32)[None]
+        s = self.max_seq_len
+        eos_arr = jnp.asarray(
+            sorted(self.tokenizer.eos_ids) or [-2], jnp.int32
+        )
+        hist = jnp.zeros((1, s), jnp.int32)
+        hist = hist.at[0, : len(history)].set(
+            jnp.asarray(history, jnp.int32)
+        )
+        hist = hist.at[0, len(history)].set(tok_id)
+        hlen_host = len(history) + 1
+        hlen = jnp.asarray([hlen_host], jnp.int32)
+        force_plain = False
 
         def emit_ok():
             return (
@@ -374,16 +390,16 @@ class InferenceEngine:
             )
 
         while emit_ok():
-            room = self.max_seq_len - pos
-            draft = _ngram_propose(history + [tok_id], n, gamma)
-            if room < gamma + 1 or draft is None:
+            room = s - pos
+            if room < gamma + 1 or force_plain:
                 if room <= 0:
                     # final token needs no KV slot (mirrors generate's tail)
                     yield tok_id
                     emitted += 1
                     history.append(tok_id)
                     break
-                # miss / tail: one plain fused greedy chunk, then retry
+                # rejection streak / tail: one plain fused greedy chunk
+                force_plain = False
                 m = min(self.config.decode_chunk, room,
                         sampling.max_new_tokens - emitted)
                 m = 1 << (max(m, 1).bit_length() - 1)
@@ -411,21 +427,29 @@ class InferenceEngine:
                 pos += m
                 self._last_pos = pos
                 tok_id = nxt_id
+                # keep the device-side history in sync for the next drafts
+                entries = outs[1:] + [nxt_id]
+                hist = hist.at[
+                    0, hlen_host : hlen_host + len(entries)
+                ].set(jnp.asarray(entries, jnp.int32))
+                hlen_host += len(entries)
+                hlen = jnp.asarray([hlen_host], jnp.int32)
                 continue
-            dvec = (list(draft) + [0] * gamma)[:gamma]
-            tvec = jnp.asarray([[tok_id] + dvec], jnp.int32)
-            logits, cache = verify_step(
-                self.params, self.model_cfg, tvec, pos + arange, cache
+            outs_d, ocnt, pend, _pos_d, cache, hist, hlen, act, dr, ac = (
+                spec_decode_rounds(
+                    self.params, self.model_cfg,
+                    jnp.asarray([tok_id], jnp.int32),
+                    jnp.asarray([pos], jnp.int32),
+                    cache, hist, hlen, eos_arr,
+                    jnp.ones((1,), jnp.bool_), rounds, gamma, n,
+                )
             )
-            g = np.asarray(jnp.argmax(logits[0], axis=-1))  # [gamma+1]
-            m = 0
-            while m < len(draft) and draft[m] == int(g[m]):
-                m += 1
-            metrics.spec_drafted += len(draft)
-            metrics.spec_accepted += m
-            outs = [tok_id] + [int(x) for x in draft[:m]]
+            cnt = int(ocnt[0])
+            toks_h = [int(x) for x in np.asarray(outs_d[0, :cnt])]
+            metrics.spec_drafted += int(dr[0])
+            metrics.spec_accepted += int(ac[0])
             stop = False
-            for j, t in enumerate(outs):
+            for j, t in enumerate(toks_h):
                 tok_id = t
                 if not emit_ok():
                     stop = True
@@ -437,9 +461,17 @@ class InferenceEngine:
             self._last_cache = cache
             if stop:
                 break
-            pos += m + 1
+            pos += cnt
             self._last_pos = pos
-            tok_id = int(g[m])
+            hlen_host += cnt
+            tok_id = int(pend[0])
+            if not bool(act[0]):
+                if s - pos >= gamma + 1:
+                    break  # EOS reached inside the fused rounds
+                continue  # ran out of room mid-call: tail path handles it
+            # pure-miss call (1 token/round): plain chunks yield far more
+            # tokens per dispatch — interleave one before retrying drafts
+            force_plain = int(ac[0]) == 0
         else:
             # loop ended because the pending token is EOS / budget reached
             self._last_cache = cache

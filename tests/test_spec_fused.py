@@ -1,0 +1,161 @@
+"""Fused on-device speculative decoding (models.llama.spec_decode_rounds).
+
+The fused loop must emit EXACTLY the plain greedy sequence (speculation
+changes latency, never output), handle EOS mid-round, and report
+drafted/accepted counters. Engine-level integration is covered in
+test_engine_spec_fused below."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nfai_tpu.config import EngineConfig, SamplingParams
+from nfai_tpu.gguf.quants import GGMLType
+from nfai_tpu.models.llama import (
+    _ngram_draft_device,
+    decode_loop,
+    spec_decode_rounds,
+)
+from nfai_tpu.models.testing import make_tiny_llama_gguf
+from nfai_tpu.runtime.engine import InferenceEngine
+
+
+def test_ngram_draft_device():
+    # history: 5 6 7 8 9 5 6 7 | pending ngram (n=3) = "5 6 7" matches at 0
+    hist = jnp.asarray([[5, 6, 7, 8, 9, 5, 6, 7, 0, 0, 0, 0]], jnp.int32)
+    hlen = jnp.asarray([8], jnp.int32)
+    draft, found = _ngram_draft_device(hist, hlen, n=3, gamma=3)
+    assert bool(found[0])
+    assert draft[0].tolist() == [8, 9, 5]
+    # no repeat -> miss; draft repeats the last token
+    hist2 = jnp.asarray([[1, 2, 3, 4, 5, 0, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    d2, f2 = _ngram_draft_device(hist2, jnp.asarray([5], jnp.int32), 3, 3)
+    assert not bool(f2[0])
+    assert d2[0].tolist() == [5, 5, 5]
+    # continuation clipped at history end falls back to last token
+    hist3 = jnp.asarray([[5, 6, 7, 5, 6, 7, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    d3, f3 = _ngram_draft_device(hist3, jnp.asarray([6], jnp.int32), 3, 4)
+    assert bool(f3[0])
+    # match at 0 -> continuation idx 3,4,5 = [5,6,7]; idx 6 is past the
+    # history, so the 4th draft falls back to the last token (7)
+    assert d3[0].tolist() == [5, 6, 7, 7]
+
+
+def _engine(tmp_path, name, **cfg):
+    path = make_tiny_llama_gguf(
+        tmp_path / name, hidden=128, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=256, vocab_size=512, quant=GGMLType.F16, seed=21,
+    )
+    return InferenceEngine(path, EngineConfig(max_seq_len=128,
+                                              dtype="float32", **cfg))
+
+
+def test_spec_rounds_match_plain_greedy(tmp_path):
+    eng = _engine(tmp_path, "spec.gguf")
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+    # plain greedy reference
+    plain = list(
+        eng.generate(prompt, SamplingParams(temperature=0.0,
+                                            max_new_tokens=24))
+    )
+    # drive spec_decode_rounds manually from a fresh prefill
+    cache = eng.new_cache(1)
+    from nfai_tpu.models.llama import prefill_step
+
+    toks = jnp.asarray([prompt], jnp.int32)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)[None]
+    logits, cache = prefill_step(
+        eng.params, eng.model_cfg, toks, pos,
+        jnp.asarray([len(prompt) - 1], jnp.int32), cache,
+    )
+    pend = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [1]
+    s = 128
+    hist = jnp.zeros((1, s), jnp.int32)
+    hist = hist.at[0, : len(prompt)].set(jnp.asarray(prompt))
+    hist = hist.at[0, len(prompt)].set(pend[0])
+    hlen = jnp.asarray([len(prompt) + 1], jnp.int32)
+    eos = jnp.asarray([-2], jnp.int32)  # no eos in this run
+    emitted = []
+    p = jnp.asarray([len(prompt)], jnp.int32)
+    act = jnp.asarray([True])
+    drafted = accepted = 0
+    while len(emitted) < 24:
+        outs, ocnt, pend, p, cache, hist, hlen, act, dr, ac = (
+            spec_decode_rounds(
+                eng.params, eng.model_cfg, pend, p, cache, hist, hlen,
+                eos, act, n_rounds=2, gamma=4, ngram=3,
+            )
+        )
+        cnt = int(ocnt[0])
+        assert cnt > 0
+        emitted.extend(int(x) for x in np.asarray(outs[0, :cnt]))
+        drafted += int(dr[0])
+        accepted += int(ac[0])
+        if not bool(act[0]):
+            break
+    assert emitted[:24] == plain[:24]
+    assert drafted > 0
+    # the repetitive prompt must give real acceptance
+    assert accepted > 0
+
+
+def test_spec_rounds_eos_mid_round(tmp_path):
+    """A lane whose greedy continuation hits EOS stops without emitting it
+    and deactivates."""
+    eng = _engine(tmp_path, "spec_eos.gguf")
+    prompt = [7, 8, 9, 7, 8]
+    plain = []
+    for t in eng.generate(prompt, SamplingParams(temperature=0.0,
+                                                 max_new_tokens=40)):
+        plain.append(t)
+    # find what greedy emits, then declare the 6th emission an "EOS"
+    if len(plain) < 8:
+        pytest.skip("model stopped too early for this fixture")
+    fake_eos = plain[6]
+    cache = eng.new_cache(1)
+    from nfai_tpu.models.llama import prefill_step
+
+    toks = jnp.asarray([prompt], jnp.int32)
+    pos = jnp.arange(len(prompt), dtype=jnp.int32)[None]
+    logits, cache = prefill_step(
+        eng.params, eng.model_cfg, toks, pos,
+        jnp.asarray([len(prompt) - 1], jnp.int32), cache,
+    )
+    pend = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    s = 128
+    hist = jnp.zeros((1, s), jnp.int32)
+    hist = hist.at[0, : len(prompt)].set(jnp.asarray(prompt))
+    hist = hist.at[0, len(prompt)].set(pend[0])
+    hlen = jnp.asarray([len(prompt) + 1], jnp.int32)
+    eos = jnp.asarray([fake_eos, -2], jnp.int32)
+    p = jnp.asarray([len(prompt)], jnp.int32)
+    act = jnp.asarray([True])
+    emitted = []
+    for _ in range(12):
+        outs, ocnt, pend, p, cache, hist, hlen, act, _, _ = (
+            spec_decode_rounds(
+                eng.params, eng.model_cfg, pend, p, cache, hist, hlen,
+                eos, act, n_rounds=2, gamma=4, ngram=3,
+            )
+        )
+        emitted.extend(int(x) for x in np.asarray(outs[0, : int(ocnt[0])]))
+        if not bool(act[0]):
+            break
+    # stops exactly before the fake EOS, never emits it
+    expect = [t for t in plain[:6]]
+    assert emitted == expect
+    assert not bool(act[0])
+
+
+def test_engine_spec_fused(tmp_path):
+    """speculative='ngram' engine path (which uses the fused loop on its
+    fast path) still matches plain greedy exactly."""
+    eng_plain = _engine(tmp_path, "p.gguf")
+    eng_spec = _engine(tmp_path, "s.gguf", speculative="ngram")
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20)
+    a = list(eng_plain.generate(prompt, sp))
+    m = eng_spec.metrics if hasattr(eng_spec, "metrics") else None
+    b = list(eng_spec.generate(prompt, sp))
+    assert a == b

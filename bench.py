@@ -53,6 +53,10 @@ def main() -> int:
     p.add_argument("--mins-bf16", action="store_true",
                    help="store the mins arrays bf16 (diagnostic: halves the "
                         "array XLA stages into alternate memory per layer)")
+    p.add_argument("--v3-scales-bf16", action="store_true",
+                   help="A/B: v3 containers with bf16 scales/mins (halves "
+                        "scale bytes AND the per-layer staging copies; "
+                        "diagnostic for the copy-start contention)")
     p.add_argument("--no-mins", action="store_true",
                    help="synthetic q4 without the affine mins arrays "
                         "(Q4_0-style symmetric; isolates the mins-term cost)")
@@ -160,6 +164,22 @@ def main() -> int:
             k: to_v3_stacked(v) if isinstance(v, _QT) else v
             for k, v in params["layers"].items()
         }
+        if args.v3_scales_bf16:
+            import dataclasses as _dc
+
+            def _cast(qt):
+                if not isinstance(qt, _QT) or qt.kind != "q4v3":
+                    return qt
+                return _dc.replace(
+                    qt,
+                    scales=qt.scales.astype(jnp.bfloat16),
+                    mins=qt.mins.astype(jnp.bfloat16),
+                )
+
+            params["lm_head"] = _cast(params["lm_head"])
+            params["layers"] = {
+                k: _cast(v) for k, v in params["layers"].items()
+            }
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(params))
     weight_bytes = sum(
         a.size * a.dtype.itemsize for a in jax.tree.leaves(params)

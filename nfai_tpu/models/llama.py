@@ -1266,6 +1266,7 @@ def spec_decode_rounds(
     n_rounds: int,
     gamma: int,
     ngram: int,
+    page_tables: jax.Array | None = None,  # [B, NP]: paged-pool verify
 ) -> tuple:
     """Fused greedy speculative decoding: `n_rounds` of (on-device n-gram
     draft → ONE verify forward of gamma+1 tokens → longest-prefix accept)
@@ -1298,7 +1299,10 @@ def spec_decode_rounds(
         tin = jnp.concatenate([tok[:, None], draft], axis=1)  # [B, T]
         posv = jnp.where(act[:, None], pos[:, None] + jt, pos[:, None])
         posv = jnp.clip(posv, 0, s_cache - 1)
-        h, cache = forward(params, cfg, tin, posv, cache, uniform_start=False)
+        h, cache = forward(
+            params, cfg, tin, posv, cache, uniform_start=False,
+            page_tables=page_tables,
+        )
         nxt = jnp.argmax(
             logits_for(params, h, cfg).astype(jnp.float32), axis=-1
         ).astype(jnp.int32)  # [B, T]

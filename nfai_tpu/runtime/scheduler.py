@@ -152,6 +152,9 @@ class BatchEngine:
         self.bias_width = 16
         self._counts = None  # jnp [B, V] int32
         self._warned_bias_clamp = False
+        # batched speculative decoding counters (see _spec_step)
+        self.spec_drafted = 0
+        self.spec_accepted = 0
 
         cfg = engine.config
         self.paged = cfg.paged_kv if paged is None else paged
@@ -480,6 +483,109 @@ class BatchEngine:
                     self._preempt(victim)
         return [i for i, s in enumerate(self.slots) if s.request is not None]
 
+    # -- batched speculative decoding ---------------------------------------
+    def _spec_eligible(self, active_idx: list[int]) -> bool:
+        """Batched prompt-lookup speculation runs when the engine enables it
+        and EVERY decoding slot is plain-greedy (no bias/penalties — the
+        fused verify accepts by argmax, so any sampled slot would diverge).
+        Lockstep batching makes this all-or-nothing per chunk."""
+        cfg = self.engine.config
+        if cfg.speculative != "ngram" or not active_idx:
+            return False
+        gamma = max(1, cfg.spec_tokens)
+        rounds = max(1, cfg.spec_rounds)
+        lookahead = rounds * (gamma + 1)
+        max_seq = self.engine.max_seq_len
+        if min(max_seq - self.slots[i].pos for i in active_idx) < lookahead:
+            return False  # cache tail: plain chunks handle the remainder
+        for i in active_idx:
+            sp = self.slots[i].request.sampling
+            if not sp.greedy or sp.logit_bias or sp.has_penalties:
+                return False
+        return True
+
+    def _spec_step(self, active_idx: list[int]) -> bool:
+        """One fused speculative call for all decoding slots. Returns False
+        if it could not run (paged pool pressure) so step() falls through
+        to the plain chunk."""
+        from ..models.llama import spec_decode_rounds
+
+        cfg = self.engine.config
+        gamma = max(1, cfg.spec_tokens)
+        ngram = max(1, cfg.spec_ngram)
+        rounds = max(1, cfg.spec_rounds)
+        lookahead = rounds * (gamma + 1)
+        tables = None
+        if self.paged:
+            active_idx = self._grow_tables(active_idx, lookahead)
+            active_idx = [i for i in active_idx if not self.slots[i].prefilling]
+            if not active_idx:
+                return True
+            tables = jnp.asarray(
+                np.stack([self._table_row(i) for i in range(self.max_batch)])
+            )
+        B = self.max_batch
+        s = self.engine.max_seq_len
+        tokens = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        active = np.zeros(B, bool)
+        hist = np.zeros((B, s), np.int32)
+        hlen = np.ones(B, np.int32)  # >=1 keeps the drafter's clips benign
+        for i in active_idx:
+            slot = self.slots[i]
+            req = slot.request
+            # host records already include the pending token
+            # (slot.next_token == output_ids[-1])
+            ids = list(req.prompt_ids) + list(req.output_ids)
+            ids = ids[-s:]
+            hist[i, : len(ids)] = ids
+            hlen[i] = len(ids)
+            tokens[i] = slot.next_token
+            positions[i] = slot.pos
+            active[i] = True
+        eos_arr = jnp.asarray(
+            sorted(self.engine.tokenizer.eos_ids) or [-2], jnp.int32
+        )
+        outs, ocnt, pend, _pos, self.cache, _h, _hl, act, dr, ac = (
+            spec_decode_rounds(
+                self.engine.params,
+                self.engine.model_cfg,
+                jnp.asarray(tokens),
+                jnp.asarray(positions),
+                self.cache,
+                jnp.asarray(hist),
+                jnp.asarray(hlen),
+                eos_arr,
+                jnp.asarray(active),
+                rounds,
+                gamma,
+                ngram,
+                page_tables=tables,
+            )
+        )
+        outs_h = np.asarray(outs)
+        ocnt_h = np.asarray(ocnt)
+        pend_h = np.asarray(pend)
+        act_h = np.asarray(act)
+        self.spec_drafted += int(np.asarray(dr).sum())
+        self.spec_accepted += int(np.asarray(ac).sum())
+        for i in active_idx:
+            slot = self.slots[i]
+            cnt = int(ocnt_h[i])
+            # outs[i, 0] re-states the already-emitted pending token; fresh
+            # tokens are outs[1:cnt] plus the new pending tail
+            fresh = [int(t) for t in outs_h[i, 1:cnt]]
+            ended = not bool(act_h[i])
+            if not ended:
+                fresh.append(int(pend_h[i]))
+            slot.pos += cnt
+            slot.next_token = int(pend_h[i])
+            self._emit(i, fresh)
+            if self.slots[i].request is not None and ended:
+                # the fused rounds hit EOS (excluded from the stream)
+                self._finish(i)
+        return True
+
     def _sweep_cancelled(self) -> None:
         for i, slot in enumerate(self.slots):
             if slot.request is not None and slot.request.cancelled:
@@ -510,6 +616,10 @@ class BatchEngine:
             self.decode_chunk,
             min(max_seq - self.slots[i].pos for i in active_idx),
         )
+        if self._spec_eligible(active_idx):
+            handled = self._spec_step(active_idx)
+            if handled:
+                return sum(1 for s in self.slots if s.request is not None)
         if self.paged:
             active_idx = self._grow_tables(active_idx, n)
             active_idx = [i for i in active_idx if not self.slots[i].prefilling]

@@ -159,3 +159,37 @@ def test_engine_spec_fused(tmp_path):
     m = eng_spec.metrics if hasattr(eng_spec, "metrics") else None
     b = list(eng_spec.generate(prompt, sp))
     assert a == b
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_batch_engine_speculative(tmp_path, paged):
+    """BatchEngine with speculative='ngram': greedy outputs match the
+    non-speculative batch engine exactly, and the spec counters move."""
+    from nfai_tpu.runtime.scheduler import BatchEngine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / f"bspec{int(paged)}.gguf", hidden=128, n_layers=2,
+        n_heads=4, n_kv_heads=2, ffn_dim=256, vocab_size=512,
+        quant=GGMLType.F16, seed=23,
+    )
+    prompts = [
+        [3, 4, 5, 3, 4, 5, 3, 4],
+        [9, 9, 2, 9, 9, 2, 9, 9],
+    ]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=16)
+    results = {}
+    for spec in ("off", "ngram"):
+        eng = InferenceEngine(
+            path,
+            EngineConfig(max_seq_len=128, dtype="float32",
+                         speculative=spec, paged_kv=paged,
+                         spec_tokens=4, spec_rounds=2),
+        )
+        be = BatchEngine(eng, max_batch=2)
+        be.start()
+        reqs = [be.submit(p, sp) for p in prompts]
+        results[spec] = [list(r.stream(timeout=300)) for r in reqs]
+        if spec == "ngram":
+            assert be.spec_drafted > 0
+        be.close()
+    assert results["ngram"] == results["off"]

@@ -16,6 +16,8 @@ from dataclasses import dataclass
 from functools import partial
 from typing import Any, NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -618,6 +620,8 @@ def _cached_attention(
     scale: float | None = None,
     softcap: float = 0.0,  # gemma2 tanh score capping
     window: jax.Array | int = 0,  # sliding window (0 = unlimited; traced ok)
+    k_scales: jax.Array | None = None,  # [B, Hkv, S] f32: int8 cache
+    v_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Attention of new tokens against the (just-updated) cache.
 
@@ -626,7 +630,9 @@ def _cached_attention(
     every query, so they are masked implicitly. Prefill chunks take the
     flash kernel on TPU; single-token decode normally never reaches here
     (the fused layered kernel handles it) — the einsum path below covers
-    CPU tests and the TP/MoE fallbacks.
+    CPU tests and the TP/MoE fallbacks. With `k_scales`/`v_scales` the
+    cache is int8: the flash kernel applies per-token scales in-kernel
+    (no dense dequant materialization); the einsum fallback dequantizes.
     """
     b, t, hq, d = q.shape
     _, s, kvd = k_cache.shape
@@ -662,7 +668,12 @@ def _cached_attention(
             scale=scale,
             softcap=softcap,
             window=window,
+            k_scales=k_scales,
+            v_scales=v_scales,
         ).astype(q.dtype)
+    if k_scales is not None:  # einsum fallback: dense dequant
+        k_cache = dequant_kv(k_cache, k_scales, q.dtype)
+        v_cache = dequant_kv(v_cache, v_scales, q.dtype)
     n_rep = hq // hkv
     if scale is None:
         scale = 1.0 / (d**0.5)
@@ -840,7 +851,9 @@ def _decode_forward_fused(
     qd = cfg.n_heads * cfg.head_dim
     kvd = cfg.n_kv_heads * cfg.head_dim
     s = cache.max_seq
-    s_block = 256 if s % 256 == 0 else 128
+    s_block = int(os.environ.get("NFAI_S_BLOCK", "0")) or (
+        256 if s % 256 == 0 else 128
+    )
     windows = jnp.asarray(cfg.layer_windows(), jnp.int32)
     is_local = jnp.asarray(
         [cfg.layer_is_local(i) for i in range(cfg.n_layers)], jnp.bool_
@@ -1101,9 +1114,11 @@ def forward(
             )
             attn = _cached_attention(
                 q,
-                dequant_kv(k_cache_l[:, :al], ks_l[:, :, :al], h.dtype),
-                dequant_kv(v_cache_l[:, :al], vs_l[:, :, :al], h.dtype),
+                k_cache_l[:, :al],
+                v_cache_l[:, :al],
                 positions,
+                k_scales=ks_l[:, :, :al],
+                v_scales=vs_l[:, :, :al],
                 **attn_kw,
             )
         elif attend_len is not None and attend_len < k_cache_l.shape[1]:

@@ -37,19 +37,21 @@ def _prefill_kernel(
     off_ref,  # SMEM [B] int32: absolute position of each row's q[0]
     win_ref,  # SMEM [1] int32: sliding window (0 = unlimited)
     q_ref,  # [TB, R, D]
-    k_ref,  # [SB, D]
+    k_ref,  # [SB, D] (int8 when quantized)
     v_ref,  # [SB, D]
-    o_ref,  # [TB, R, D]
-    m_ref,  # VMEM [TB, R, 128] f32
-    l_ref,  # VMEM [TB, R, 128] f32
-    acc_ref,  # VMEM [TB, R, D] f32
-    *,
+    *rest,  # ([ks_ref, vs_ref] when quantized,) o_ref, m/l/acc scratch
     t_block: int,
     s_block: int,
     scale: float,
     softcap: float,
     windowed: bool,
+    quantized: bool = False,
 ):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     tb = pl.program_id(2)
     kk = pl.program_id(3)
@@ -77,6 +79,10 @@ def _prefill_kernel(
             q, k, (((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [TB, R, SB]
+        if quantized:
+            # per-token scale factors out of the D contraction: one
+            # broadcast multiply per score column ([1, SB] -> [TB, R, SB])
+            scores = scores * ks_ref[...]
         if softcap:
             scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         span = kk * s_block + jax.lax.broadcasted_iota(
@@ -96,6 +102,8 @@ def _prefill_kernel(
             l_ref[:, :, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
             l_ref.shape,
         )
+        if quantized:
+            p = p * vs_ref[...]  # fold the v scale into the softmax weights
         pv = jax.lax.dot_general(
             p,
             v_ref[...].astype(jnp.float32),
@@ -126,6 +134,8 @@ def flash_prefill_attention(
     scale: float | None = None,
     softcap: float = 0.0,
     window: jax.Array | int = 0,  # sliding window; 0 = unlimited (traced ok)
+    k_scales: jax.Array | None = None,  # [B, Hkv, S] f32 (int8 cache)
+    v_scales: jax.Array | None = None,
 ) -> jax.Array:
     """Returns [B, T, Hq, D]; query t attends cache slots <= offsets[b]+t.
 
@@ -150,37 +160,50 @@ def flash_prefill_attention(
         scale = 1.0 / (d**0.5)
     windowed = not (isinstance(window, int) and window == 0)
     win_arr = jnp.asarray(window, jnp.int32).reshape(1)
+    quantized = k_scales is not None
+
+    in_specs = [
+        pl.BlockSpec(
+            (b,), lambda bb, h, tb, kk: (0,), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (1,), lambda bb, h, tb, kk: (0,), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (None, None, t_block, r, d),
+            lambda bb, h, tb, kk: (bb, h, tb, 0, 0),
+        ),
+        pl.BlockSpec(
+            (None, None, s_block, d),
+            lambda bb, h, tb, kk: (bb, h, kk, 0),
+        ),
+        pl.BlockSpec(
+            (None, None, s_block, d),
+            lambda bb, h, tb, kk: (bb, h, kk, 0),
+        ),
+    ]
+    args = [offsets, win_arr, qg, k_cache, v_cache]
+    if quantized:
+        sspec = pl.BlockSpec(
+            (None, None, 1, s_block), lambda bb, h, tb, kk: (bb, h, 0, kk)
+        )
+        in_specs += [sspec, sspec]
+        args += [
+            k_scales.reshape(b, hkv, 1, s),
+            v_scales.reshape(b, hkv, 1, s),
+        ]
 
     grid = (b, hkv, t // t_block, s // s_block)
     out = pl.pallas_call(
         functools.partial(
             _prefill_kernel, t_block=t_block, s_block=s_block, scale=scale,
-            softcap=softcap, windowed=windowed,
+            softcap=softcap, windowed=windowed, quantized=quantized,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, t, r, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (b,), lambda bb, h, tb, kk: (0,), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec(
-                    (1,), lambda bb, h, tb, kk: (0,), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec(
-                    (None, None, t_block, r, d),
-                    lambda bb, h, tb, kk: (bb, h, tb, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (None, None, s_block, d),
-                    lambda bb, h, tb, kk: (bb, h, kk, 0),
-                ),
-                pl.BlockSpec(
-                    (None, None, s_block, d),
-                    lambda bb, h, tb, kk: (bb, h, kk, 0),
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (None, None, t_block, r, d),
                 lambda bb, h, tb, kk: (bb, h, tb, 0, 0),
@@ -195,5 +218,5 @@ def flash_prefill_attention(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(offsets, win_arr, qg, k_cache, v_cache)
+    )(*args)
     return out.transpose(0, 2, 1, 3, 4).reshape(b, t, hq, d)

@@ -200,3 +200,42 @@ def test_batch_engine_int8_paged(tmp_path):
     assert len(outs["int8"]) == 6
     # tiny f32 model: int8 KV error is far below the argmax margin
     assert outs["int8"] == outs["auto"]
+
+
+def test_flash_prefill_int8_parity():
+    """int8 cache + in-kernel scales through the flash prefill kernel
+    matches the dequantized einsum reference."""
+    import jax.numpy as jnp
+
+    from nfai_tpu.models import llama as lm
+    from nfai_tpu.models.llama import quantize_kv, dequant_kv
+
+    rng = np.random.default_rng(11)
+    b, t, hq, hkv, d, s = 2, 64, 8, 4, 64, 256
+    kvd = hkv * d
+    q = jnp.asarray(rng.standard_normal((b, t, hq, d)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((b, s, kvd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((b, s, kvd)), jnp.float32)
+    positions = jnp.broadcast_to(
+        jnp.arange(128, 128 + t, dtype=jnp.int32), (b, t)
+    )
+    kq, ks = quantize_kv(kc, hkv)  # [B,S,KVD] int8, [B,S,Hkv]
+    vq, vs = quantize_kv(vc, hkv)
+    ks_tm = ks.transpose(0, 2, 1)  # time-minor [B,Hkv,S]
+    vs_tm = vs.transpose(0, 2, 1)
+    old = lm.PREFILL_ATTN_IMPL
+    lm.PREFILL_ATTN_IMPL = "flash"
+    try:
+        out = lm._cached_attention(
+            q, kq, vq, positions, k_scales=ks_tm, v_scales=vs_tm
+        )
+    finally:
+        lm.PREFILL_ATTN_IMPL = old
+    ref = lm._cached_attention(
+        q, dequant_kv(kq, ks_tm, jnp.float32),
+        dequant_kv(vq, vs_tm, jnp.float32), positions
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -22,6 +22,11 @@ class SamplingParams:
     logit_bias: tuple[tuple[int, float], ...] = ()  # (token_id, bias) pairs
     seed: int | None = None
     max_new_tokens: int = 512
+    # OpenAI logprobs: None = off, 0 = chosen token only, 1..20 = also the
+    # top-N alternatives per emitted token (from the un-tempered
+    # distribution). Collected in GenerationMetrics.logprobs / the batch
+    # Request.logprob_data.
+    logprobs: int | None = None
     stop: tuple[str, ...] = ()  # stop strings (checked on the decoded text)
     # grammar-constrained decoding: None | "json" (OpenAI json_object mode)
     # | "json_schema" (set `json_schema` too). Constrained requests run

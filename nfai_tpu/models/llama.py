@@ -832,7 +832,11 @@ def _decode_forward_fused(
     layer forced XLA to copy the full stacked cache every layer — ~5x
     slower end-to-end at 1B/b8/S1024.)
     """
-    from ..ops.fused_decode import layered_decode_attention, write_all_layers
+    from ..ops.fused_decode import (
+        layered_decode_attention,
+        layered_decode_attention_slab,
+        write_all_layers,
+    )
     from ..ops.qmatmul import linear_layered
 
     b = tokens.shape[0]
@@ -854,6 +858,19 @@ def _decode_forward_fused(
     s_block = int(os.environ.get("NFAI_S_BLOCK", "0")) or (
         256 if s % 256 == 0 else 128
     )
+    # batch-slab attention kernel by default: grid cells cost ~0.7 us each
+    # on v5e and the (B, S/sb) grid was ~25 us/call of pure sequencing
+    # (benchmarks/attn_probe.py). The slab block must fit VMEM: k+v slabs,
+    # double-buffered ~ 8*b*sb*kvd bytes (+1 MB scratch).
+    if os.environ.get("NFAI_ATTN_IMPL", "slab") == "slab":
+        attn_fn = layered_decode_attention_slab
+        attn_s_block = s_block
+        while attn_s_block > 128 and 8 * b * attn_s_block * kvd > (10 << 20):
+            attn_s_block //= 2
+        if s % attn_s_block:
+            attn_fn, attn_s_block = layered_decode_attention, s_block
+    else:
+        attn_fn, attn_s_block = layered_decode_attention, s_block
     windows = jnp.asarray(cfg.layer_windows(), jnp.int32)
     is_local = jnp.asarray(
         [cfg.layer_is_local(i) for i in range(cfg.n_layers)], jnp.bool_
@@ -903,9 +920,9 @@ def _decode_forward_fused(
         k = apply_rope_cs(k, lcos, lsin, neox=True)
         kn = k[:, 0].reshape(b, kvd)  # merged-lane new rows [B, KVD]
         vn = v[:, 0].reshape(b, kvd)
-        attn = layered_decode_attention(
+        attn = attn_fn(
             q[:, 0], kn, vn, cache.k, cache.v, lidx, starts,
-            s_block=s_block, interpret=interp,
+            s_block=attn_s_block, interpret=interp,
             scale=cfg.query_scale, softcap=cfg.attn_softcap,
             window=win if cfg.swa_pattern else 0,
             k_scales=cache.ks, v_scales=cache.vs,
@@ -1386,7 +1403,7 @@ def decode_step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "top_k", "uniform_start"),
+    static_argnames=("cfg", "n_steps", "top_k", "uniform_start", "n_logprobs"),
     donate_argnames=("cache",),
 )
 def decode_loop(
@@ -1409,17 +1426,26 @@ def decode_loop(
     presence: jax.Array | float | None = None,  # [B] presence penalty
     frequency: jax.Array | float | None = None,  # [B] frequency penalty
     counts: jax.Array | None = None,  # [B, V] int32 output-token counts
+    n_logprobs: int | None = None,  # static: OpenAI logprobs (0=chosen only)
 ) -> tuple:
     """Generate `n_steps` tokens fully on device (no host sync per token).
 
     Returns (tokens [B, n_steps], next_tokens [B], cache, key) — plus the
     updated `counts` when penalties are active (pass `counts` to enable
-    presence/frequency penalties; they count OUTPUT tokens, vLLM semantics).
+    presence/frequency penalties; they count OUTPUT tokens, vLLM semantics),
+    plus (chosen_lp [B, n], top_ids [B, n, k], top_lps [B, n, k]) when
+    `n_logprobs` is set (aligned with toks[:, 1:] + next_tokens — each
+    step's logprobs describe the token it SAMPLED).
     The emitted tokens all have their K/V written; `next_tokens` is sampled
     but not yet fed through the model. The host checks EOS between chunks —
     one sync per `n_steps` tokens instead of per token.
     """
-    from ..ops.sampling import apply_logit_bias, apply_penalties, sample_logits
+    from ..ops.sampling import (
+        apply_logit_bias,
+        apply_penalties,
+        sample_logits,
+        token_logprobs,
+    )
 
     use_counts = counts is not None
 
@@ -1448,25 +1474,42 @@ def decode_loop(
             pos_next = jnp.where(active, pos + 1, pos)
         else:
             pos_next = pos + 1
+        ys = tok
+        if n_logprobs is not None:
+            # logprob of the token sampled THIS step (emitted as toks[i+1]
+            # or as next_tokens): [n_steps] ys align 1:1 with
+            # toks[:, 1:] + next_tokens on the host
+            ys = (tok, *token_logprobs(logits, nxt, n_logprobs))
         if use_counts:
             inc = (
                 active.astype(jnp.int32) if active is not None
                 else jnp.ones_like(nxt)
             )
             cnt = cnt.at[jnp.arange(nxt.shape[0]), nxt].add(inc)
-            return (nxt, pos_next, cache, key, cnt), tok
-        return (nxt, pos_next, cache, key), tok
+            return (nxt, pos_next, cache, key, cnt), ys
+        return (nxt, pos_next, cache, key), ys
 
     if use_counts:
-        (next_tok, _, cache, key, counts), toks = jax.lax.scan(
+        (next_tok, _, cache, key, counts), ys = jax.lax.scan(
             body, (first_tokens, start_pos, cache, key, counts),
             length=n_steps,
         )
-        return jnp.moveaxis(toks, 0, 1), next_tok, cache, key, counts
-    (next_tok, _, cache, key), toks = jax.lax.scan(
-        body, (first_tokens, start_pos, cache, key), length=n_steps
-    )
-    return jnp.moveaxis(toks, 0, 1), next_tok, cache, key
+        tail = (counts,)
+    else:
+        (next_tok, _, cache, key), ys = jax.lax.scan(
+            body, (first_tokens, start_pos, cache, key), length=n_steps
+        )
+        tail = ()
+    if n_logprobs is not None:
+        toks, lp, tid, tlp = ys
+        tail = tail + (
+            jnp.moveaxis(lp, 0, 1),  # [B, n_steps]
+            jnp.moveaxis(tid, 0, 1),  # [B, n_steps, k]
+            jnp.moveaxis(tlp, 0, 1),
+        )
+    else:
+        toks = ys
+    return (jnp.moveaxis(toks, 0, 1), next_tok, cache, key) + tail
 
 
 def _decode_one(params, cfg, tokens, positions, cache, uniform_start=True):
@@ -1543,7 +1586,7 @@ def paged_prefill_step(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "top_k"),
+    static_argnames=("cfg", "n_steps", "top_k", "n_logprobs"),
     donate_argnames=("cache",),
 )
 def paged_decode_loop(
@@ -1566,11 +1609,18 @@ def paged_decode_loop(
     presence: jax.Array | float | None = None,
     frequency: jax.Array | float | None = None,
     counts: jax.Array | None = None,
+    n_logprobs: int | None = None,
 ) -> tuple:
     """`decode_loop` over the paged pool: same fused-chunk semantics, with
     KV writes scattered through the block tables and attention via the
-    block-table flash kernel. Sampling extensions as in `decode_loop`."""
-    from ..ops.sampling import apply_logit_bias, apply_penalties, sample_logits
+    block-table flash kernel. Sampling extensions (incl. `n_logprobs`
+    outputs) as in `decode_loop`."""
+    from ..ops.sampling import (
+        apply_logit_bias,
+        apply_penalties,
+        sample_logits,
+        token_logprobs,
+    )
 
     use_counts = counts is not None
 
@@ -1602,25 +1652,39 @@ def paged_decode_loop(
             pos_next = jnp.where(active, pos + 1, pos)
         else:
             pos_next = pos + 1
+        ys = tok
+        if n_logprobs is not None:
+            ys = (tok, *token_logprobs(logits, nxt, n_logprobs))
         if use_counts:
             inc = (
                 active.astype(jnp.int32) if active is not None
                 else jnp.ones_like(nxt)
             )
             cnt = cnt.at[jnp.arange(nxt.shape[0]), nxt].add(inc)
-            return (nxt, pos_next, cache, key, cnt), tok
-        return (nxt, pos_next, cache, key), tok
+            return (nxt, pos_next, cache, key, cnt), ys
+        return (nxt, pos_next, cache, key), ys
 
     if use_counts:
-        (next_tok, _, cache, key, counts), toks = jax.lax.scan(
+        (next_tok, _, cache, key, counts), ys = jax.lax.scan(
             body, (first_tokens, start_pos, cache, key, counts),
             length=n_steps,
         )
-        return jnp.moveaxis(toks, 0, 1), next_tok, cache, key, counts
-    (next_tok, _, cache, key), toks = jax.lax.scan(
-        body, (first_tokens, start_pos, cache, key), length=n_steps
-    )
-    return jnp.moveaxis(toks, 0, 1), next_tok, cache, key
+        tail = (counts,)
+    else:
+        (next_tok, _, cache, key), ys = jax.lax.scan(
+            body, (first_tokens, start_pos, cache, key), length=n_steps
+        )
+        tail = ()
+    if n_logprobs is not None:
+        toks, lp, tid, tlp = ys
+        tail = tail + (
+            jnp.moveaxis(lp, 0, 1),
+            jnp.moveaxis(tid, 0, 1),
+            jnp.moveaxis(tlp, 0, 1),
+        )
+    else:
+        toks = ys
+    return (jnp.moveaxis(toks, 0, 1), next_tok, cache, key) + tail
 
 
 def _fuse_projections(layers: dict, cfg: LlamaConfig) -> None:

@@ -318,6 +318,261 @@ def layered_decode_attention(
     return out
 
 
+def _fused_slab_kernel(
+    layer_ref,  # scalar-prefetch [1] int32
+    win_ref,  # scalar-prefetch [1] int32
+    starts_ref,  # scalar-prefetch [B] int32
+    mm_ref,  # scalar-prefetch [2] int32: [max(starts), min(starts)]
+    q_ref,  # [B, Hq, D]
+    knew_ref,  # [B, 1, KVD]
+    vnew_ref,  # [B, 1, KVD]
+    k_ref,  # [B, BS, KVD] cache slab (all rows, one s-block)
+    v_ref,  # [B, BS, KVD]
+    ks_ref,  # [B, Hkv, BS] or None
+    vs_ref,  # [B, Hkv, BS] or None
+    o_ref,  # [B, Hq, D]
+    qbd_ref,  # VMEM [B, Hq, KVD] f32
+    m_ref,  # VMEM [B, Hq, 128] f32
+    l_ref,  # VMEM [B, Hq, 128] f32
+    acc_ref,  # VMEM [B, Hq, KVD] f32
+    *,
+    s_block: int,
+    d: int,
+    r: int,
+    scale: float,
+    softcap: float,
+    windowed: bool,
+):
+    """`_fused_kernel` with the whole batch in ONE grid cell per s-block.
+
+    The (batch, s-block) grid costs ~0.7 µs of sequencing per cell on v5e
+    (measured, benchmarks/attn_probe.py: ~25 µs fixed per 32-cell call vs a
+    3-5 µs DMA ideal at typical fills). Folding the batch into the block
+    cuts the grid to S/s_block cells; each cell runs the per-row online-
+    softmax updates in an unrolled loop over rows. Per-ROW block clamping
+    is traded for a batch-max clamp in the index map (rows shorter than the
+    longest still skip their FLOPs via pl.when, but share the slab DMA)."""
+    kk = pl.program_id(0)
+    win = win_ref[0]
+    b, hq, kvd = acc_ref.shape
+
+    @pl.when(kk == 0)
+    def _():
+        rep_t = (
+            _iota2((d, kvd), 1) % d == _iota2((d, kvd), 0)
+        ).astype(jnp.float32)
+        shape = (hq, kvd)
+        diag = (_iota2(shape, 1) // d) == (_iota2(shape, 0) // r)
+        for bb in range(b):
+            qv = q_ref[bb].astype(jnp.float32)  # [Hq, D]
+            tiled = jax.lax.dot(qv, rep_t, preferred_element_type=jnp.float32)
+            qbd_ref[bb] = jnp.where(diag, tiled * scale, 0.0)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for bb in range(b):
+        start = starts_ref[bb]
+        relevant = kk * s_block < start
+        if windowed:
+            relevant &= (win == 0) | ((kk + 1) * s_block > start - win + 1)
+
+        @pl.when(relevant)
+        def _(bb=bb, start=start):
+            scores = jax.lax.dot_general(
+                qbd_ref[bb],
+                k_ref[bb].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, BS]
+            if ks_ref is not None:
+                rep_h = (
+                    _iota2((hq, ks_ref.shape[1]), 0) // r
+                    == _iota2((hq, ks_ref.shape[1]), 1)
+                ).astype(jnp.float32)
+                scores = scores * jax.lax.dot(
+                    rep_h, ks_ref[bb], preferred_element_type=jnp.float32
+                )
+            if softcap:
+                scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+            span = kk * s_block + _iota2(scores.shape, 1)
+            visible = span < start
+            if windowed:
+                visible &= (win == 0) | (span > start - win)
+            scores = jnp.where(visible, scores, NEG_INF)
+            m_prev = m_ref[bb, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scores - m_new)
+            l_ref[bb] = jnp.broadcast_to(
+                l_ref[bb, :, :1] * corr + jnp.sum(p, axis=-1, keepdims=True),
+                l_ref.shape[1:],
+            )
+            if vs_ref is not None:
+                rep_h = (
+                    _iota2((hq, vs_ref.shape[1]), 0) // r
+                    == _iota2((hq, vs_ref.shape[1]), 1)
+                ).astype(jnp.float32)
+                p = p * jax.lax.dot(
+                    rep_h, vs_ref[bb], preferred_element_type=jnp.float32
+                )
+            pv = jax.lax.dot_general(
+                p,
+                v_ref[bb].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[bb] = acc_ref[bb] * corr + pv
+            m_ref[bb] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+
+    @pl.when(kk == pl.num_programs(0) - 1)
+    def _():
+        shape = (hq, kvd)
+        diag = (_iota2(shape, 1) // d) == (_iota2(shape, 0) // r)
+        rep = (
+            _iota2((kvd, d), 0) % d == _iota2((kvd, d), 1)
+        ).astype(jnp.float32)
+        for bb in range(b):
+            s_new = jax.lax.dot_general(
+                qbd_ref[bb],
+                knew_ref[bb].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hq, 1]
+            if softcap:
+                s_new = softcap * jnp.tanh(s_new * (1.0 / softcap))
+            m_prev = m_ref[bb, :, :1]
+            m_fin = jnp.maximum(m_prev, s_new)
+            corr = jnp.exp(m_prev - m_fin)
+            p_new = jnp.exp(s_new - m_fin)
+            l_fin = l_ref[bb, :, :1] * corr + p_new
+            acc = acc_ref[bb] * corr + jax.lax.dot_general(
+                p_new,
+                vnew_ref[bb].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = jax.lax.dot(
+                jnp.where(diag, acc, 0.0), rep,
+                preferred_element_type=jnp.float32,
+            )  # [Hq, D]
+            o_ref[bb] = (out / jnp.maximum(l_fin, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s_block", "interpret", "scale", "softcap")
+)
+def layered_decode_attention_slab(
+    q: jax.Array,  # [B, Hq, D]
+    k_new: jax.Array,  # [B, KVD]
+    v_new: jax.Array,  # [B, KVD]
+    k_cache: jax.Array,  # [L, B, S, KVD]
+    v_cache: jax.Array,
+    layer: jax.Array,
+    starts: jax.Array,  # [B] int32
+    s_block: int = DEFAULT_S_BLOCK,
+    interpret: bool = False,
+    scale: float | None = None,
+    softcap: float = 0.0,
+    window: jax.Array | int = 0,
+    k_scales: jax.Array | None = None,  # [L, B, Hkv, S] f32 (int8 cache)
+    v_scales: jax.Array | None = None,
+) -> jax.Array:
+    """Batch-slab variant of `layered_decode_attention` (see
+    _fused_slab_kernel). Same semantics, grid (S/s_block,) instead of
+    (B, S/s_block)."""
+    b, hq, d = q.shape
+    l, _, s, kvd = k_cache.shape
+    hkv = kvd // d
+    r = hq // hkv
+    s_block = min(s_block, s)
+    if s % s_block:
+        raise ValueError(f"cache length {s} not divisible by s_block {s_block}")
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    windowed = not (isinstance(window, int) and window == 0)
+    quantized = k_scales is not None
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    win_arr = jnp.asarray(window, jnp.int32).reshape(1)
+
+    def slab_idx(kk, lref, wref, sref, mref):
+        # batch-max clamp: blocks past the LONGEST row's length repeat the
+        # last valid index (the DMA is skipped); windowed models also clamp
+        # from below to the earliest in-window block across rows. Mosaic
+        # index maps may only read SMEM scalars, so max/min(starts) arrive
+        # precomputed in mref.
+        last = jnp.maximum(mref[0] - 1, 0) // s_block
+        kk2 = jnp.minimum(kk, last)
+        if windowed:
+            w = wref[0]
+            lo = jnp.where(
+                w > 0, jnp.maximum(mref[1] - w + 1, 0) // s_block, 0
+            )
+            kk2 = jnp.clip(kk, lo, last)
+        return (lref[0], 0, kk2, 0)
+
+    kernel = functools.partial(
+        _fused_slab_kernel, s_block=s_block, d=d, r=r, scale=scale,
+        softcap=softcap, windowed=windowed,
+    )
+    in_specs = [
+        pl.BlockSpec((b, hq, d), lambda kk, lr, wr, sr, mr: (0, 0, 0)),
+        pl.BlockSpec((b, 1, kvd), lambda kk, lr, wr, sr, mr: (0, 0, 0)),
+        pl.BlockSpec((b, 1, kvd), lambda kk, lr, wr, sr, mr: (0, 0, 0)),
+        pl.BlockSpec((None, b, s_block, kvd), slab_idx),
+        pl.BlockSpec((None, b, s_block, kvd), slab_idx),
+    ]
+    minmax = jnp.stack([jnp.max(starts), jnp.min(starts)]).astype(jnp.int32)
+    args = [
+        layer_arr, win_arr, starts, minmax, q, k_new[:, None],
+        v_new[:, None], k_cache, v_cache,
+    ]
+    if quantized:
+        def slab_idx_sc(kk, lref, wref, sref, mref):
+            last = jnp.maximum(mref[0] - 1, 0) // s_block
+            kk2 = jnp.minimum(kk, last)
+            if windowed:
+                w = wref[0]
+                lo = jnp.where(
+                    w > 0, jnp.maximum(mref[1] - w + 1, 0) // s_block, 0
+                )
+                kk2 = jnp.clip(kk, lo, last)
+            return (lref[0], 0, 0, kk2)
+
+        in_specs += [
+            pl.BlockSpec((None, b, hkv, s_block), slab_idx_sc),
+            pl.BlockSpec((None, b, hkv, s_block), slab_idx_sc),
+        ]
+        args += [k_scales, v_scales]
+    else:
+        def kernel(*refs, _k=kernel):
+            (lr, wr, sr, mr, qr, knr, vnr, kr, vr, o, qbd, m, l_, acc) = refs
+            return _k(lr, wr, sr, mr, qr, knr, vnr, kr, vr, None, None,
+                      o, qbd, m, l_, acc)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(s // s_block,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (b, hq, d), lambda kk, lr, wr, sr, mr: (0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((b, hq, kvd), jnp.float32),
+                pltpu.VMEM((b, hq, 128), jnp.float32),
+                pltpu.VMEM((b, hq, 128), jnp.float32),
+                pltpu.VMEM((b, hq, kvd), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def write_cache_rows(
     cache: jax.Array,  # [L, B, S, KVD]
     new: jax.Array,  # [B, KVD]

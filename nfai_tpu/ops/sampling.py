@@ -119,3 +119,29 @@ def apply_penalties(
     )[:, None]
     cf = counts.astype(jnp.float32)
     return logits - freq * cf - pres * (cf > 0)
+
+
+def token_logprobs(
+    logits: jax.Array,  # [B, V] float (pre-temperature, post-bias/penalty)
+    chosen: jax.Array,  # [B] int32 sampled token ids
+    n_top: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """OpenAI `logprobs`: log-probability of the chosen token plus the
+    `n_top` most likely alternatives, from the UN-tempered distribution
+    (OpenAI semantics — logprobs describe the model, not the sampler).
+
+    Returns (chosen_lp [B], top_ids [B, max(n_top,1)], top_lps [B, ...]);
+    when n_top == 0 the top arrays are placeholders (width 1) so the
+    jitted callers keep a static output structure."""
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)  # [B]
+    rows = jnp.arange(logits.shape[0])
+    chosen_lp = logits[rows, chosen].astype(jnp.float32) - lse
+    k = max(n_top, 1)
+    # approx_max_k: exact top-k over 128k vocab costs a full sort (~9 ms)
+    top_vals, top_ids = jax.lax.approx_max_k(
+        logits.astype(jnp.float32), k, recall_target=0.99
+    )
+    order = jnp.argsort(-top_vals, axis=-1)
+    top_vals = jnp.take_along_axis(top_vals, order, axis=-1)
+    top_ids = jnp.take_along_axis(top_ids, order, axis=-1)
+    return chosen_lp, top_ids.astype(jnp.int32), top_vals - lse[:, None]

@@ -75,6 +75,9 @@ class GenerationMetrics:
     decode_s: float = 0.0
     spec_drafted: int = 0  # speculative: draft tokens proposed
     spec_accepted: int = 0  # speculative: draft tokens accepted
+    # SamplingParams.logprobs: one dict per emitted token (appended BEFORE
+    # the token is yielded) — {"id", "logprob", "top": [(id, lp), ...]}
+    logprobs: list = field(default_factory=list)
 
     @property
     def decode_tokens_per_s(self) -> float:
@@ -260,11 +263,20 @@ class InferenceEngine:
         metrics.ttft_s = time.perf_counter() - t0
         self._last_cache, self._last_pos = cache, pos
 
+        want_lp = sampling.logprobs
+        if want_lp is not None:
+            from ..ops.sampling import token_logprobs
+
+            lp_k = max(0, min(int(want_lp), 20))
+            carry_lp = self._lp_entry(
+                token_logprobs(logits, token, lp_k), 0, lp_k, int(token[0])
+            )
         if (
             self.config.speculative == "ngram"
             and sampling.greedy
             and bias_ids is None
             and counts is None
+            and want_lp is None
         ):
             yield from self._generate_ngram(
                 token, pos, cache, list(int(t) for t in prompt_ids),
@@ -309,12 +321,17 @@ class InferenceEngine:
                 presence=sampling.presence_penalty,
                 frequency=sampling.frequency_penalty,
                 counts=counts,
+                n_logprobs=lp_k if want_lp is not None else None,
             )
+            toks, token, cache, key = out[:4]
+            rest = list(out[4:])
             if counts is not None:
-                toks, token, cache, key, counts = out
-            else:
-                toks, token, cache, key = out
-            pending.append((toks, n, pos))
+                counts = rest.pop(0)
+            lp_arrs = rest if want_lp is not None else None
+            # `token` is now the pending token AFTER this chunk — recorded
+            # so the logprob carry can name it even though the next chunk
+            # was already dispatched by the time this one is read back
+            pending.append((toks, n, pos, lp_arrs, token))
             pos += n
             spec_budget -= n
             return True
@@ -322,8 +339,10 @@ class InferenceEngine:
         dispatch()
         while pending and not done:
             dispatch()  # overlap the next chunk with this chunk's readback
-            toks, n, p0 = pending.pop(0)
+            toks, n, p0, lp_arrs, chunk_next = pending.pop(0)
             toks_host = np.asarray(toks[0])  # sync
+            if lp_arrs is not None:
+                lp_host = [np.asarray(a[0]) for a in lp_arrs]  # [n], [n,k]x2
             for j, t in enumerate(toks_host):
                 t = int(t)
                 if (
@@ -333,6 +352,15 @@ class InferenceEngine:
                     done = True
                     self._last_pos = p0 + j
                     break
+                if want_lp is not None:
+                    # toks[0]'s logprob was computed by the previous chunk
+                    # (or at prefill); step j's arrays describe toks[j+1]
+                    metrics.logprobs.append(carry_lp)
+                    carry_lp = self._lp_entry(
+                        lp_host, j, lp_k,
+                        int(toks_host[j + 1]) if j + 1 < n
+                        else int(chunk_next[0]),
+                    )
                 yield t
                 emitted += 1
             else:
@@ -345,10 +373,28 @@ class InferenceEngine:
             if emitted < sampling.max_new_tokens and not self.tokenizer.is_eos(
                 tok_id
             ):
+                if want_lp is not None:
+                    metrics.logprobs.append(carry_lp)
                 yield tok_id
                 emitted += 1
         metrics.new_tokens = emitted
         metrics.decode_s = time.perf_counter() - t_dec
+
+    @staticmethod
+    def _lp_entry(arrs, row, want_k, token) -> dict:
+        """One GenerationMetrics.logprobs dict from (lp, top_ids, top_lps)
+        arrays indexed at `row` (prefill: [1]-shaped; chunks: [n]-shaped)."""
+        lp, tid, tlp = arrs
+        top = []
+        if want_k and want_k > 0:
+            ids = np.asarray(tid[row][:want_k])
+            vals = np.asarray(tlp[row][:want_k])
+            top = [(int(i), float(v)) for i, v in zip(ids, vals)]
+        return {
+            "id": int(token),
+            "logprob": float(np.asarray(lp[row])),
+            "top": top,
+        }
 
     def _generate_ngram(
         self, token, pos, cache, history, sampling, metrics
@@ -536,6 +582,18 @@ class InferenceEngine:
                 break
             ok = machine.advance_bytes(cons.token_bytes[token])
             assert ok, "constrained sampler emitted an illegal token"
+            if sampling.logprobs is not None:
+                from ..ops.sampling import token_logprobs
+
+                k = max(0, min(int(sampling.logprobs), 20))
+                # logprobs over the CONSTRAINED (masked, renormalized)
+                # distribution — what the sampler actually drew from
+                metrics.logprobs.append(self._lp_entry(
+                    token_logprobs(
+                        masked, jnp.asarray([token], jnp.int32), k
+                    ),
+                    0, k, token,
+                ))
             yield token
             emitted += 1
             if machine.complete or pos >= self.max_seq_len:

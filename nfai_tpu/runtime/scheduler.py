@@ -54,6 +54,9 @@ class Request:
     sampling: SamplingParams
     state: RequestState = RequestState.QUEUED
     output_ids: list[int] = field(default_factory=list)
+    # SamplingParams.logprobs: one dict per emitted token —
+    # {"id", "logprob", "top": [(token_id, logprob), ...]}
+    logprob_data: list[dict] = field(default_factory=list)
     out: queue.Queue = field(default_factory=queue.Queue)
     submitted_at: float = field(default_factory=time.perf_counter)
     first_token_at: float | None = None
@@ -361,7 +364,37 @@ class BatchEngine:
             self.engine.max_seq_len - ids.size,
         )
         slot.next_token = tok
-        self._emit(slot_idx, [tok])
+        lps = None
+        if s.logprobs is not None:
+            from ..ops.sampling import token_logprobs
+
+            lps = [self._lp_entry(
+                *token_logprobs(logits, jnp.asarray([tok], jnp.int32),
+                                self._lp_bucket(s.logprobs)),
+                0, s.logprobs, tok,
+            )]
+        self._emit(slot_idx, [tok], lps)
+
+    @staticmethod
+    def _lp_bucket(k: int) -> int:
+        """Static logprob widths are compile variants: bucket requests to
+        {0, 8, 20} and slice each slot's rows to what it asked for."""
+        return 0 if k <= 0 else (8 if k <= 8 else 20)
+
+    @staticmethod
+    def _lp_entry(lp, tid, tlp, row, want_k, token) -> dict:
+        """Build one Request.logprob_data dict from device logprob arrays
+        ([B]/[B,k] or step-sliced), slicing top rows to the requested k."""
+        top = []
+        if want_k and want_k > 0:
+            ids = np.asarray(tid[row][:want_k])
+            vals = np.asarray(tlp[row][:want_k])
+            top = [(int(i), float(v)) for i, v in zip(ids, vals)]
+        return {
+            "id": int(token),
+            "logprob": float(np.asarray(lp[row])),
+            "top": top,
+        }
 
     def _table_row(self, slot_idx: int) -> np.ndarray:
         row = np.zeros(self.max_pages, np.int32)  # sink-padded
@@ -402,18 +435,24 @@ class BatchEngine:
             return self.top_k
         return requested
 
-    def _emit(self, slot_idx: int, tokens: list[int]) -> None:
-        """Push tokens to the request stream; finish on EOS/budget."""
+    def _emit(
+        self, slot_idx: int, tokens: list[int], logprobs: list[dict] | None = None
+    ) -> None:
+        """Push tokens to the request stream; finish on EOS/budget.
+        `logprobs` (when the request asked for them) runs parallel to
+        `tokens`; entries for tokens cut by EOS/budget are dropped too."""
         slot = self.slots[slot_idx]
         req = slot.request
         tok_eos = self.engine.tokenizer.is_eos
-        for t in tokens:
+        for j, t in enumerate(tokens):
             if req.first_token_at is None:
                 req.first_token_at = time.perf_counter()
             if tok_eos(t) or slot.budget <= 0:
                 self._finish(slot_idx)
                 return
             req.output_ids.append(t)
+            if logprobs is not None:
+                req.logprob_data.append(logprobs[j])
             req.out.put(t)
             slot.budget -= 1
         if slot.budget <= 0:
@@ -500,7 +539,8 @@ class BatchEngine:
             return False  # cache tail: plain chunks handle the remainder
         for i in active_idx:
             sp = self.slots[i].request.sampling
-            if not sp.greedy or sp.logit_bias or sp.has_penalties:
+            if (not sp.greedy or sp.logit_bias or sp.has_penalties
+                    or sp.logprobs is not None):
                 return False
         return True
 
@@ -656,7 +696,18 @@ class BatchEngine:
                 any_bias = True
             if sp.has_penalties:
                 any_pen = True
+        want_lp = [
+            i for i in active_idx
+            if self.slots[i].request.sampling.logprobs is not None
+        ]
+        n_lp = None
+        if want_lp:
+            n_lp = self._lp_bucket(max(
+                self.slots[i].request.sampling.logprobs for i in want_lp
+            ))
         extras = dict(min_p=jnp.asarray(min_ps))
+        if n_lp is not None:
+            extras["n_logprobs"] = n_lp
         if any_bias:
             extras.update(
                 bias_ids=jnp.asarray(bias_ids),
@@ -691,10 +742,6 @@ class BatchEngine:
                 top_k_rows=jnp.asarray(top_ks),
                 **extras,
             )
-            if any_pen:
-                toks, nxt, self.cache, _, self._counts = out
-            else:
-                toks, nxt, self.cache, _ = out
         else:
             out = decode_loop(
                 self.engine.params,
@@ -712,10 +759,11 @@ class BatchEngine:
                 top_k_rows=jnp.asarray(top_ks),
                 **extras,
             )
-            if any_pen:
-                toks, nxt, self.cache, _, self._counts = out
-            else:
-                toks, nxt, self.cache, _ = out
+        toks, nxt, self.cache, _ = out[:4]
+        rest = list(out[4:])
+        if any_pen:
+            self._counts = rest.pop(0)
+        lp_arrs = [np.asarray(a) for a in rest] if n_lp is not None else None
         toks_host = np.asarray(toks)
         nxt_host = np.asarray(nxt)
         for i in active_idx:
@@ -723,9 +771,20 @@ class BatchEngine:
             # toks[i] = [prev next_token (already emitted), t1, ..., t_{n-1}];
             # fresh tokens for the stream are t1..t_{n-1} plus the new tail
             fresh = [int(t) for t in toks_host[i][1:]] + [int(nxt_host[i])]
+            lps = None
+            sp = slot.request.sampling
+            if lp_arrs is not None and sp.logprobs is not None:
+                lp_a, tid_a, tlp_a = lp_arrs
+                # step j's logprob arrays describe fresh[j] exactly
+                lps = [
+                    self._lp_entry(
+                        lp_a[i], tid_a[i], tlp_a[i], j, sp.logprobs, fresh[j]
+                    )
+                    for j in range(n)
+                ]
             slot.pos += n
             slot.next_token = int(nxt_host[i])
-            self._emit(i, fresh)
+            self._emit(i, fresh, lps)
             if self.slots[i].request is not None and slot.pos >= max_seq:
                 self._finish(i)  # out of cache room
         return sum(1 for s in self.slots if s.request is not None)

@@ -78,6 +78,17 @@ def _sampling_from_body(body: dict) -> SamplingParams:
         response_format = "json_schema"
     else:
         raise ValueError(f"unsupported response_format type {rf_type!r}")
+    # OpenAI logprobs: chat sends `"logprobs": true` + `"top_logprobs": N`;
+    # the legacy completions endpoint sends `"logprobs": N`
+    lp_raw = body.get("logprobs")
+    logprobs = None
+    if isinstance(lp_raw, bool):
+        if lp_raw:
+            logprobs = int(body.get("top_logprobs") or 0)
+    elif lp_raw is not None:
+        logprobs = int(lp_raw)
+    if logprobs is not None and not 0 <= logprobs <= 20:
+        raise ValueError("logprobs/top_logprobs must be in [0, 20]")
     grammar = body.get("grammar")
     regex = body.get("regex")
     if sum(x is not None for x in (grammar, regex, json_schema)) > 1:
@@ -112,6 +123,7 @@ def _sampling_from_body(body: dict) -> SamplingParams:
         grammar=str(grammar) if grammar is not None else None,
         regex=str(regex) if regex is not None else None,
         json_schema=json_schema,
+        logprobs=logprobs,
     )
 
 
@@ -128,11 +140,16 @@ class _DirectRequest:
         self.prompt_ids = list(prompt_ids)
         self._q: queue.Queue = queue.Queue()
         self._cancelled = threading.Event()
+        from .runtime.engine import GenerationMetrics
+
+        self.metrics = GenerationMetrics()
 
         def run():
             try:
                 with lock:  # constrained requests serialize among themselves
-                    for tok in engine.generate(prompt_ids, sampling):
+                    for tok in engine.generate(
+                        prompt_ids, sampling, metrics=self.metrics
+                    ):
                         if self._cancelled.is_set():
                             break
                         self._q.put(tok)
@@ -142,6 +159,12 @@ class _DirectRequest:
                 self._q.put(None)
 
         threading.Thread(target=run, daemon=True).start()
+
+    @property
+    def logprob_data(self):
+        # entries are appended by the engine BEFORE each token is queued,
+        # so by the time a consumer has read token k, entry k exists
+        return self.metrics.logprobs
 
     def stream(self, timeout: float = 600.0):
         while True:
@@ -276,6 +299,52 @@ def make_handler(state: ServerState):
                 req.cancel()
                 raise
 
+        def _tok_repr(self, token_id: int) -> tuple[str, list[int]]:
+            try:
+                bs = state.engine.tokenizer.decode_token_bytes(token_id)
+            except Exception:  # noqa: BLE001 - special/malformed ids
+                bs = b""
+            return bs.decode("utf-8", errors="replace"), list(bs)
+
+        def _logprobs_block(self, entries: list[dict], chat: bool) -> dict:
+            """OpenAI logprobs payload: chat uses the structured `content`
+            list; legacy completions uses parallel arrays."""
+            if chat:
+                content = []
+                for e in entries:
+                    s, bs = self._tok_repr(e["id"])
+                    content.append({
+                        "token": s,
+                        "logprob": e["logprob"],
+                        "bytes": bs,
+                        "top_logprobs": [
+                            {
+                                "token": self._tok_repr(i)[0],
+                                "logprob": lp,
+                                "bytes": self._tok_repr(i)[1],
+                            }
+                            for i, lp in e["top"]
+                        ],
+                    })
+                return {"content": content}
+            toks, lps, tops, offs = [], [], [], []
+            off = 0
+            for e in entries:
+                s, _ = self._tok_repr(e["id"])
+                toks.append(s)
+                lps.append(e["logprob"])
+                tops.append(
+                    {self._tok_repr(i)[0]: lp for i, lp in e["top"]}
+                )
+                offs.append(off)
+                off += len(s)
+            return {
+                "tokens": toks,
+                "token_logprobs": lps,
+                "top_logprobs": tops,
+                "text_offset": offs,
+            }
+
         def _respond(self, body: dict, req, chat: bool):
             eng = state.engine
             sampling = req.sampling
@@ -292,6 +361,8 @@ def make_handler(state: ServerState):
                 self.end_headers()
                 detok = StreamDetokenizer(eng.tokenizer)
                 stopper = TextStopper(sampling.stop)
+                want_lp = sampling.logprobs is not None
+                lp_cursor = 0
                 for tok in req.stream(timeout=600):
                     raw = detok.push(tok)
                     if not raw:
@@ -306,12 +377,20 @@ def make_handler(state: ServerState):
                         if chat
                         else {"text": piece}
                     )
+                    choice = {"index": 0, **delta, "finish_reason": None}
+                    if want_lp:
+                        # attach entries for the tokens consumed since the
+                        # last emitted piece (detok may buffer several)
+                        entries = req.logprob_data
+                        new = entries[lp_cursor:]
+                        lp_cursor = len(entries)
+                        choice["logprobs"] = self._logprobs_block(new, chat)
                     chunk = {
                         "id": rid,
                         "object": obj + ".chunk" if chat else obj,
                         "created": created,
                         "model": eng.model_name,
-                        "choices": [{"index": 0, **delta, "finish_reason": None}],
+                        "choices": [choice],
                     }
                     self._sse(chunk)
                     if stopped:
@@ -359,6 +438,11 @@ def make_handler(state: ServerState):
                     if chat
                     else {"text": text}
                 )
+                choice = {"index": 0, **content, "finish_reason": "stop"}
+                if sampling.logprobs is not None:
+                    choice["logprobs"] = self._logprobs_block(
+                        list(req.logprob_data)[: len(tokens)], chat
+                    )
                 self._json(
                     200,
                     {
@@ -366,9 +450,7 @@ def make_handler(state: ServerState):
                         "object": obj,
                         "created": created,
                         "model": eng.model_name,
-                        "choices": [
-                            {"index": 0, **content, "finish_reason": "stop"}
-                        ],
+                        "choices": [choice],
                         "usage": {
                             "prompt_tokens": len(req.prompt_ids),
                             "completion_tokens": len(tokens),

@@ -235,3 +235,61 @@ def test_layered_attention_window_softcap_parity(rng):
             np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5,
             err_msg=f"window={window} softcap={softcap}",
         )
+
+
+def test_slab_attention_kernel_parity(rng):
+    """Batch-slab kernel == per-row kernel == reference, incl. non-uniform
+    row lengths and the analytic new-token fold."""
+    from nfai_tpu.ops.fused_decode import layered_decode_attention_slab
+
+    l, hkv, r, b, s, d = 3, 2, 4, 4, 256, 64
+    hq, kvd = hkv * r, hkv * d
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    starts = jnp.asarray([0, 1, 130, s - 1], jnp.int32)
+    for layer in (0, 2):
+        ref, _, _ = layered_decode_reference(
+            q, kn, vn, kc, vc, jnp.int32(layer), starts
+        )
+        out = layered_decode_attention_slab(
+            q, kn, vn, kc, vc, jnp.int32(layer), starts,
+            s_block=128, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_slab_attention_int8_parity(rng):
+    """Slab kernel with the int8 cache + scale operands matches the per-row
+    quantized kernel bit-for-bit semantics."""
+    from nfai_tpu.models.llama import quantize_kv
+    from nfai_tpu.ops.fused_decode import layered_decode_attention_slab
+
+    l, hkv, r, b, s, d = 2, 2, 2, 2, 256, 64
+    hq, kvd = hkv * r, hkv * d
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, kvd)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((l, b, s, kvd)), jnp.float32)
+    kq, ks4 = quantize_kv(kf, hkv)
+    vq, vs4 = quantize_kv(vf, hkv)
+    ks = jnp.swapaxes(ks4, -1, -2)
+    vs = jnp.swapaxes(vs4, -1, -2)
+    starts = jnp.asarray([200, 64], jnp.int32)
+    for layer in (0, 1):
+        ref = layered_decode_attention(
+            q, kn, vn, kq, vq, jnp.int32(layer), starts,
+            s_block=128, interpret=True, k_scales=ks, v_scales=vs,
+        )
+        out = layered_decode_attention_slab(
+            q, kn, vn, kq, vq, jnp.int32(layer), starts,
+            s_block=128, interpret=True, k_scales=ks, v_scales=vs,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )

@@ -22,9 +22,16 @@ def sync(x):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--s-block", type=int, default=256)
+    ap.add_argument("--impl", default="per-row", choices=["per-row", "slab"])
     ap.add_argument("--iters", type=int, default=200)
     args = ap.parse_args()
-    from nfai_tpu.ops.fused_decode import layered_decode_attention
+    from nfai_tpu.ops.fused_decode import (
+        layered_decode_attention,
+        layered_decode_attention_slab,
+    )
+
+    attn = (layered_decode_attention_slab if args.impl == "slab"
+            else layered_decode_attention)
 
     L, B, S, HKV, D, HQ = 16, 8, 1024, 8, 64, 32
     KVD = HKV * D
@@ -40,7 +47,7 @@ def main():
         # 16 sequential calls ~ one decode step's attention column
         out = 0.0
         for layer in range(L):
-            out += layered_decode_attention(
+            out += attn(
                 q, kn, vn, kc, vc, jnp.int32(layer), starts,
                 s_block=args.s_block,
             ).astype(jnp.float32)

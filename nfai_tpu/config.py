@@ -74,10 +74,13 @@ class EngineConfig:
     page_size: int = 128  # KV cache page granularity
     prefill_chunk: int = 256  # prompt chunking bucket for jit shape stability
     decode_chunk: int = 32  # tokens generated per on-device fused decode call
-    # speculative decoding (single-request greedy path): "off" | "ngram"
-    # (prompt-lookup self-drafting: no draft model, drafts come from the
-    # most recent n-gram match in the prompt + generated text)
+    # speculative decoding (greedy paths): "off" | "ngram" | "draft".
+    # "ngram" = prompt-lookup self-drafting (no draft model, drafts come
+    # from the most recent n-gram match in the prompt + generated text);
+    # "draft" = a second, smaller GGUF model proposes tokens (set
+    # `draft_gguf`; its tokenizer/vocab must match the target's)
     speculative: str = "off"
+    draft_gguf: str = ""  # path to the draft model (speculative="draft")
     spec_tokens: int = 8  # draft length gamma (one verify forward per draft)
     spec_ngram: int = 3  # n-gram length used for the lookup
     # draft->verify->accept rounds fused into ONE device dispatch

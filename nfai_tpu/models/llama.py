@@ -1388,6 +1388,110 @@ def spec_decode_rounds(
     return outs, ocnt, tok, pos, cache, hist, hlen, act, drafted, accepted
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "dcfg", "n_rounds", "gamma"),
+    donate_argnames=("cache", "dcache"),
+)
+def draft_spec_rounds(
+    params: dict,
+    cfg: LlamaConfig,
+    dparams: dict,
+    dcfg: LlamaConfig,
+    tokens: jax.Array,  # [B] pending (sampled, not yet emitted) token ids
+    positions: jax.Array,  # [B]
+    cache: KVCache,  # target model cache
+    dcache: KVCache,  # draft model cache (same prompt prefilled)
+    eos_ids: jax.Array,  # [E] int32 (pad with -1)
+    active: jax.Array,  # [B] bool
+    n_rounds: int,
+    gamma: int,
+) -> tuple:
+    """Fused draft-model speculative decoding (greedy): per round, the
+    draft model rolls out gamma+1 greedy steps (the +1 step writes the
+    last draft's KV so the draft cache never develops a hole on full
+    acceptance), the target verifies all gamma drafts in ONE forward, and
+    the longest argmax-matching prefix commits. Output is EXACTLY the
+    target's greedy sequence regardless of draft quality — the draft only
+    sets the acceptance rate. Same lane conventions as spec_decode_rounds
+    (EOS stops before emission; frozen lanes rewrite their own position).
+
+    Returns (out_tokens [B, n_rounds*(gamma+1)], out_counts [B],
+    next_tokens, next_pos, cache, dcache, active, drafted, accepted)."""
+    b = tokens.shape[0]
+    s_cache = cache.max_seq
+    t = gamma + 1
+    n_out = n_rounds * t
+    jt = jnp.arange(t, dtype=jnp.int32)[None]
+
+    def is_eos(x):
+        return jnp.any(x[..., None] == eos_ids[None], axis=-1)
+
+    def round_body(carry, _):
+        tok, pos, cache, dcache, outs, ocnt, act, drafted, accepted = carry
+        act = act & ~is_eos(tok) & (pos + t <= s_cache)
+        posc = jnp.where(act, pos, jnp.minimum(pos, s_cache - t))
+
+        # draft rollout: greedy gamma+1 steps, frozen lanes re-feed tok
+        def droll(c, j):
+            dtok, dc = c
+            dpos = jnp.where(act, posc + j, posc)
+            logits, dc = _decode_one(
+                dparams, dcfg, dtok, dpos, dc, uniform_start=False
+            )
+            nxt = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(
+                jnp.int32
+            )
+            nxt = jnp.where(act, nxt, dtok)
+            return (nxt, dc), nxt
+
+        (_, dcache), dout = jax.lax.scan(
+            droll, (tok, dcache), jnp.arange(t, dtype=jnp.int32)
+        )
+        draft = jnp.moveaxis(dout, 0, 1)[:, :gamma]  # [B, gamma]
+        tin = jnp.concatenate([tok[:, None], draft], axis=1)  # [B, T]
+        posv = jnp.where(act[:, None], posc[:, None] + jt, posc[:, None])
+        posv = jnp.clip(posv, 0, s_cache - 1)
+        h, cache = forward(params, cfg, tin, posv, cache, uniform_start=False)
+        nxt = jnp.argmax(
+            logits_for(params, h, cfg).astype(jnp.float32), axis=-1
+        ).astype(jnp.int32)
+        ok = (draft == nxt[:, :-1]).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)
+        e = n_acc + 1
+        emit_eos = is_eos(tin) & (jt < e[:, None])
+        first_eos = jnp.min(jnp.where(emit_eos, jt, n_out), axis=1)
+        hit_eos = first_eos < e
+        e = jnp.where(hit_eos, first_eos, e)
+        e = jnp.where(act, e, 0)
+        new_tok = jnp.take_along_axis(nxt, n_acc[:, None], axis=1)[:, 0]
+        new_tok = jnp.where(act & ~hit_eos, new_tok, tok)
+        bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        oidx = jnp.where(jt < e[:, None], ocnt[:, None] + jt, n_out)
+        outs = outs.at[bidx, oidx].set(tin, mode="drop")
+        adv = jnp.where(act, e, 0)
+        drafted = drafted + jnp.where(act, gamma, 0)
+        accepted = accepted + jnp.where(act, n_acc, 0)
+        act = act & ~hit_eos
+        return (
+            new_tok, pos + adv, cache, dcache, outs, ocnt + adv, act,
+            drafted, accepted,
+        ), None
+
+    outs0 = jnp.zeros((b, n_out), jnp.int32)
+    zero = jnp.zeros((b,), jnp.int32)
+    (tok, pos, cache, dcache, outs, ocnt, act, drafted, accepted), _ = (
+        jax.lax.scan(
+            round_body,
+            (tokens, positions, cache, dcache, outs0, zero, active,
+             zero, zero),
+            None,
+            length=n_rounds,
+        )
+    )
+    return outs, ocnt, tok, pos, cache, dcache, act, drafted, accepted
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
 def decode_step(
     params: dict,

@@ -272,16 +272,22 @@ class InferenceEngine:
                 token_logprobs(logits, token, lp_k), 0, lp_k, int(token[0])
             )
         if (
-            self.config.speculative == "ngram"
+            self.config.speculative in ("ngram", "draft")
             and sampling.greedy
             and bias_ids is None
             and counts is None
             and want_lp is None
         ):
-            yield from self._generate_ngram(
-                token, pos, cache, list(int(t) for t in prompt_ids),
-                sampling, metrics,
-            )
+            if self.config.speculative == "draft":
+                yield from self._generate_draft(
+                    token, pos, cache, list(int(t) for t in prompt_ids),
+                    sampling, metrics,
+                )
+            else:
+                yield from self._generate_ngram(
+                    token, pos, cache, list(int(t) for t in prompt_ids),
+                    sampling, metrics,
+                )
             return
 
         # Fused decode: chunks of up to `decode_chunk` tokens run entirely on
@@ -520,6 +526,133 @@ class InferenceEngine:
             force_plain = int(ac[0]) == 0
         else:
             # loop ended because the pending token is EOS / budget reached
+            self._last_cache = cache
+        metrics.new_tokens = emitted
+        metrics.decode_s = time.perf_counter() - t_dec
+
+    @property
+    def draft_engine(self) -> "InferenceEngine":
+        """Lazy second engine for speculative='draft' (EngineConfig.
+        draft_gguf). Must share the target's vocabulary."""
+        if getattr(self, "_draft_engine", None) is None:
+            from dataclasses import replace
+
+            if not self.config.draft_gguf:
+                raise ValueError(
+                    "speculative='draft' requires EngineConfig.draft_gguf"
+                )
+            self._draft_engine = InferenceEngine(
+                self.config.draft_gguf,
+                replace(
+                    self.config, gguf_path=self.config.draft_gguf,
+                    speculative="off", draft_gguf="",
+                ),
+            )
+            if (self._draft_engine.model_cfg.vocab_size
+                    != self.model_cfg.vocab_size):
+                raise ValueError(
+                    "draft model vocabulary differs from the target's"
+                )
+        return self._draft_engine
+
+    def _generate_draft(
+        self, token, pos, cache, history, sampling, metrics
+    ) -> Iterator[int]:
+        """Draft-model speculative decoding (greedy), fully fused: the
+        draft GGUF prefills the same prompt into its own cache, then
+        models.llama.draft_spec_rounds runs `spec_rounds` rounds of
+        (gamma+1 draft steps → one target verify → longest-prefix accept)
+        per dispatch. Output matches the target's plain greedy EXACTLY —
+        the draft only sets the acceptance rate (classic speculative
+        decoding, Leviathan et al.; llama.cpp's --model-draft analog)."""
+        from ..models.llama import draft_spec_rounds
+
+        gamma = max(1, self.config.spec_tokens)
+        rounds = max(1, self.config.spec_rounds)
+        de = self.draft_engine
+        t_dec = time.perf_counter()
+        emitted = 0
+        tok_id = int(token[0])
+        s = min(self.max_seq_len, de.max_seq_len)
+        eos_arr = jnp.asarray(
+            sorted(self.tokenizer.eos_ids) or [-2], jnp.int32
+        )
+        dcache = de.new_cache(1)
+        _, dcache = de.prefill(dcache, history)
+
+        def emit_ok():
+            return (
+                emitted < sampling.max_new_tokens
+                and not self.tokenizer.is_eos(tok_id)
+            )
+
+        while emit_ok():
+            room = s - pos
+            if room < gamma + 1:
+                if room <= 0:
+                    yield tok_id
+                    emitted += 1
+                    break
+                # cache tail: plain fused greedy chunks on the target
+                m = min(self.config.decode_chunk, room,
+                        sampling.max_new_tokens - emitted)
+                m = 1 << (max(m, 1).bit_length() - 1)
+                toks, token, cache, _ = decode_loop(
+                    self.params, self.model_cfg,
+                    jnp.asarray([tok_id], jnp.int32),
+                    jnp.asarray([pos], jnp.int32),
+                    cache, jax.random.PRNGKey(0), m, 0.0,
+                )
+                outs = [int(t) for t in np.asarray(toks[0])]
+                nxt_id = int(token[0])
+                stop = False
+                for j, t in enumerate(outs):
+                    tok_id = t
+                    if not emit_ok():
+                        stop = True
+                        self._last_pos = pos + j
+                        break
+                    yield t
+                    emitted += 1
+                self._last_cache = cache
+                if stop:
+                    break
+                pos += m
+                self._last_pos = pos
+                tok_id = nxt_id
+                continue
+            outs_d, ocnt, pend, _p, cache, dcache, act, dr, ac = (
+                draft_spec_rounds(
+                    self.params, self.model_cfg,
+                    de.params, de.model_cfg,
+                    jnp.asarray([tok_id], jnp.int32),
+                    jnp.asarray([pos], jnp.int32),
+                    cache, dcache, eos_arr,
+                    jnp.ones((1,), jnp.bool_), rounds, gamma,
+                )
+            )
+            cnt = int(ocnt[0])
+            toks_h = [int(x) for x in np.asarray(outs_d[0, :cnt])]
+            metrics.spec_drafted += int(dr[0])
+            metrics.spec_accepted += int(ac[0])
+            stop = False
+            for j, t in enumerate(toks_h):
+                tok_id = t
+                if not emit_ok():
+                    stop = True
+                    self._last_pos = pos + j
+                    break
+                yield t
+                emitted += 1
+            self._last_cache = cache
+            if stop:
+                break
+            pos += cnt
+            self._last_pos = pos
+            tok_id = int(pend[0])
+            if not bool(act[0]) and s - pos >= gamma + 1:
+                break  # EOS reached inside the fused rounds
+        else:
             self._last_cache = cache
         metrics.new_tokens = emitted
         metrics.decode_s = time.perf_counter() - t_dec

@@ -193,3 +193,68 @@ def test_batch_engine_speculative(tmp_path, paged):
             assert be.spec_drafted > 0
         be.close()
     assert results["ngram"] == results["off"]
+
+
+def test_draft_model_speculation(tmp_path):
+    """speculative='draft': output matches plain greedy EXACTLY. An
+    identical draft gives high acceptance; a different draft still gives
+    exact output (verification corrects it)."""
+    path = make_tiny_llama_gguf(
+        tmp_path / "tgt.gguf", hidden=128, n_layers=2, n_heads=4,
+        n_kv_heads=2, ffn_dim=256, vocab_size=512, quant=GGMLType.F16,
+        seed=21,
+    )
+    other = make_tiny_llama_gguf(
+        tmp_path / "drf.gguf", hidden=64, n_layers=2, n_heads=4,
+        n_kv_heads=2, ffn_dim=128, vocab_size=512, quant=GGMLType.F16,
+        seed=99,
+    )
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=20)
+    from nfai_tpu.runtime.engine import GenerationMetrics
+
+    plain = list(
+        InferenceEngine(path, EngineConfig(max_seq_len=128,
+                                           dtype="float32")).generate(
+            prompt, sp)
+    )
+    for draft_path, min_acc in ((path, 1), (other, 0)):
+        eng = InferenceEngine(
+            path,
+            EngineConfig(max_seq_len=128, dtype="float32",
+                         speculative="draft", draft_gguf=str(draft_path),
+                         spec_tokens=4, spec_rounds=2),
+        )
+        m = GenerationMetrics()
+        out = list(eng.generate(prompt, sp, metrics=m))
+        assert out == plain, draft_path
+        assert m.spec_drafted > 0
+        assert m.spec_accepted >= min_acc
+    # identical draft: acceptance should be (near-)total
+    eng = InferenceEngine(
+        path,
+        EngineConfig(max_seq_len=128, dtype="float32", speculative="draft",
+                     draft_gguf=str(path), spec_tokens=4, spec_rounds=2),
+    )
+    m = GenerationMetrics()
+    out = list(eng.generate(prompt, sp, metrics=m))
+    assert out == plain
+    assert m.spec_accepted / max(m.spec_drafted, 1) > 0.8
+
+
+def test_draft_vocab_mismatch(tmp_path):
+    path = make_tiny_llama_gguf(
+        tmp_path / "t2.gguf", hidden=64, n_layers=1, n_heads=2,
+        n_kv_heads=2, ffn_dim=64, vocab_size=512, seed=1,
+    )
+    bad = make_tiny_llama_gguf(
+        tmp_path / "d2.gguf", hidden=64, n_layers=1, n_heads=2,
+        n_kv_heads=2, ffn_dim=64, vocab_size=256, seed=2,
+    )
+    eng = InferenceEngine(
+        path, EngineConfig(max_seq_len=64, dtype="float32",
+                           speculative="draft", draft_gguf=str(bad)),
+    )
+    with pytest.raises(ValueError, match="vocabulary"):
+        list(eng.generate([1, 2], SamplingParams(temperature=0.0,
+                                                 max_new_tokens=4)))

@@ -279,24 +279,44 @@ def make_handler(state: ServerState):
         def _generate(self, body: dict, prompt_ids: list[int], chat: bool):
             eng = state.engine
             sampling = _sampling_from_body(body)
-            if sampling.constrained:
-                req = _DirectRequest(
-                    eng, prompt_ids, sampling, state.constrained_lock
-                )
-            else:
-                try:
-                    req = state.batch.submit(prompt_ids, sampling)
-                except RuntimeError as e:  # bounded queue: shed load
-                    self._error(503, str(e))
-                    return
-            with state.lock:
-                state.requests_served += 1
+            n = int(body.get("n") or 1)
+            if not 1 <= n <= 8:
+                raise ValueError("n must be between 1 and 8")
+            if n > 1 and body.get("stream"):
+                raise ValueError("streaming with n > 1 is not supported")
+
+            def make_req(sp):
+                if sp.constrained:
+                    return _DirectRequest(
+                        eng, prompt_ids, sp, state.constrained_lock
+                    )
+                return state.batch.submit(prompt_ids, sp)
+
+            import dataclasses as _dc
+
             try:
-                self._respond(body, req, chat)
+                reqs = [
+                    make_req(
+                        sampling if i == 0 or sampling.seed is None
+                        else _dc.replace(sampling, seed=sampling.seed + i)
+                    )
+                    for i in range(n)
+                ]
+            except RuntimeError as e:  # bounded queue: shed load
+                self._error(503, str(e))
+                return
+            with state.lock:
+                state.requests_served += n
+            try:
+                if n == 1:
+                    self._respond(body, reqs[0], chat)
+                else:
+                    self._respond_multi(body, reqs, chat)
             except (BrokenPipeError, ConnectionResetError):
                 # client went away mid-stream: stop generating server-side
                 # (the reference kept computing to EOS with nobody listening)
-                req.cancel()
+                for r in reqs:
+                    r.cancel()
                 raise
 
         def _tok_repr(self, token_id: int) -> tuple[str, list[int]]:
@@ -458,6 +478,50 @@ def make_handler(state: ServerState):
                         },
                     },
                 )
+
+        def _respond_multi(self, body: dict, reqs, chat: bool):
+            """OpenAI `n` > 1: one choice per request (blocking only)."""
+            eng = state.engine
+            rid = f"{'chatcmpl' if chat else 'cmpl'}-{uuid.uuid4().hex[:16]}"
+            obj = "chat.completion" if chat else "text_completion"
+            choices = []
+            total_completion = 0
+            for idx, req in enumerate(reqs):
+                sampling = req.sampling
+                tokens = list(req.stream(timeout=600))
+                total_completion += len(tokens)
+                text = eng.tokenizer.decode(tokens, skip_special=True)
+                for s in sampling.stop:
+                    cut = text.find(s)
+                    if cut != -1:
+                        text = text[:cut]
+                content = (
+                    {"message": {"role": "assistant", "content": text}}
+                    if chat
+                    else {"text": text}
+                )
+                choice = {"index": idx, **content, "finish_reason": "stop"}
+                if sampling.logprobs is not None:
+                    choice["logprobs"] = self._logprobs_block(
+                        list(req.logprob_data)[: len(tokens)], chat
+                    )
+                choices.append(choice)
+            n_prompt = len(reqs[0].prompt_ids)
+            self._json(
+                200,
+                {
+                    "id": rid,
+                    "object": obj,
+                    "created": int(time.time()),
+                    "model": eng.model_name,
+                    "choices": choices,
+                    "usage": {
+                        "prompt_tokens": n_prompt,
+                        "completion_tokens": total_completion,
+                        "total_tokens": n_prompt + total_completion,
+                    },
+                },
+            )
 
         def _sse(self, obj: dict):
             data = f"data: {json.dumps(obj)}\n\n".encode()

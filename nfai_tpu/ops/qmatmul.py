@@ -444,7 +444,7 @@ def _q4v3_matmul(x, q32, scales, out_dtype=jnp.bfloat16):
 # into the producer), again avoiding any XLA-level mins slice.
 
 
-def _q8l_kernel(lref, x_ref, bs_ref, qs_ref, sc_ref, mins_ref, o_ref, acc_ref,
+def _q8l_kernel(lref, x_ref, qs_ref, sc_ref, mins_ref, o_ref, acc_ref,
                 *, group):
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -455,18 +455,15 @@ def _q8l_kernel(lref, x_ref, bs_ref, qs_ref, sc_ref, mins_ref, o_ref, acc_ref,
         x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
     if mins_ref is not None:
-        # per-k-tile mins term: acc -= bsums_tile^T @ mins_tile. The mins
-        # block MUST be tiled like the scales: a whole-K column block made
-        # XLA's memory-space assignment re-stage the full stacked mins array
-        # into alternate memory EVERY layer iteration (1.8 ms/step of async
-        # copies on the 1B q4 profile, serializing against w_down's DMA).
-        # bsums ride transposed [K/g, B] so the k-block axis tiles on
-        # sublanes (a (B, kb) block would put kb on the lane axis, which
-        # Mosaic only allows at 128-multiples or the full dim).
-        acc_ref[...] -= jax.lax.dot_general(
-            bs_ref[...],
+        # per-k-tile mins term: acc -= bsums @ mins_tile, with the
+        # activation block-sums computed IN-kernel (one tiny MXU dot —
+        # the old XLA reduce/transpose chains cost ~50 us/step of scanned
+        # graph time; the mins block stays per-k-tile because a whole-K
+        # column block made XLA re-stage the full stacked mins array into
+        # alternate memory every layer iteration).
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(x_ref[...], group),
             mins_ref[...].astype(jnp.float32),
-            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -476,7 +473,7 @@ def _q8l_kernel(lref, x_ref, bs_ref, qs_ref, sc_ref, mins_ref, o_ref, acc_ref,
 
 
 def _q4l_kernel(
-    lref, x_lo_ref, x_hi_ref, bs_lo_ref, bs_hi_ref, qs_ref, sc_lo_ref,
+    lref, x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref,
     sc_hi_ref, mins_lo_ref, mins_hi_ref, o_ref, acc_ref,
 ):
     @pl.when(pl.program_id(1) == 0)
@@ -497,18 +494,15 @@ def _q4l_kernel(
         preferred_element_type=jnp.float32,
     )
     if mins_lo_ref is not None:
-        # per-k-tile mins term, bsums transposed [K/g, B] (see _q8l_kernel
-        # for why this is NOT a whole-K column block)
-        acc_ref[...] -= jax.lax.dot_general(
-            bs_lo_ref[...],
+        # per-k-tile mins term, block-sums in-kernel (see _q8l_kernel)
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(x_lo_ref[...], QBLOCK),
             mins_lo_ref[...].astype(jnp.float32),
-            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc_ref[...] -= jax.lax.dot_general(
-            bs_hi_ref[...],
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(x_hi_ref[...], QBLOCK),
             mins_hi_ref[...].astype(jnp.float32),
-            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -527,24 +521,12 @@ def _q8_matmul_layered(x, layer, qs, scales, mins=None,
     grid = (n // tn, k // tk)
     kb = tk // group
     has_mins = mins is not None
-    # transposed [K/g, B]: the k-block axis tiles on sublanes (see kernel)
-    bsums_t = (
-        jnp.sum(
-            x.astype(jnp.float32).reshape(b, k // group, group), axis=-1
-        ).T
-        if has_mins
-        else jnp.zeros((8, b), jnp.float32)
-    )
     specs = [
         pl.BlockSpec((b, tk), lambda j, kk, lr: (0, kk)),
-        # activation block-sums, tiled along K like the scales
-        pl.BlockSpec((kb, b) if has_mins else bsums_t.shape,
-                     (lambda j, kk, lr: (kk, 0)) if has_mins
-                     else (lambda j, kk, lr: (0, 0))),
         pl.BlockSpec((None, tk, tn), lambda j, kk, lr: (lr[0], kk, j)),
         pl.BlockSpec((None, kb, tn), lambda j, kk, lr: (lr[0], kk, j)),
     ]
-    args = [jnp.asarray(layer, jnp.int32).reshape(1), x, bsums_t, qs, scales]
+    args = [jnp.asarray(layer, jnp.int32).reshape(1), x, qs, scales]
     if has_mins:
         # per-k-tile mins blocks, same shape/index map as the scales
         specs.append(
@@ -553,9 +535,9 @@ def _q8_matmul_layered(x, layer, qs, scales, mins=None,
         args.append(mins)
         kernel = functools.partial(_q8l_kernel, group=group)
     else:
-        def kernel(lref, x_ref, bs_ref, qs_ref, sc_ref, o_ref, acc_ref):
+        def kernel(lref, x_ref, qs_ref, sc_ref, o_ref, acc_ref):
             return _q8l_kernel(
-                lref, x_ref, bs_ref, qs_ref, sc_ref, None, o_ref, acc_ref,
+                lref, x_ref, qs_ref, sc_ref, None, o_ref, acc_ref,
                 group=group,
             )
     return pl.pallas_call(
@@ -592,35 +574,16 @@ def _q4_matmul_layered(x, layer, qs, scales, mins=None, out_dtype=jnp.bfloat16):
     grid = (n // tn, nk)
     kb = tkb // QBLOCK
     has_mins = mins is not None
-    # transposed [K/32, B]: the k-block axis tiles on sublanes (see kernel)
-    bsums_t = (
-        jnp.sum(
-            x.astype(jnp.float32).reshape(b, k // QBLOCK, QBLOCK), axis=-1
-        ).T
-        if has_mins
-        else jnp.zeros((8, b), jnp.float32)
-    )
-    bs_spec_lo = pl.BlockSpec(
-        (kb, b) if has_mins else bsums_t.shape,
-        (lambda j, kk, lr: (kk, 0)) if has_mins else (lambda j, kk, lr: (0, 0)),
-    )
-    bs_spec_hi = pl.BlockSpec(
-        (kb, b) if has_mins else bsums_t.shape,
-        (lambda j, kk, lr, nk=nk: (kk + nk, 0)) if has_mins
-        else (lambda j, kk, lr: (0, 0)),
-    )
     specs = [
         pl.BlockSpec((b, tkb), lambda j, kk, lr: (0, kk)),
         pl.BlockSpec((b, tkb), lambda j, kk, lr, nk=nk: (0, kk + nk)),
-        bs_spec_lo,
-        bs_spec_hi,
         pl.BlockSpec((None, tkb, tn), lambda j, kk, lr: (lr[0], kk, j)),
         pl.BlockSpec((None, kb, tn), lambda j, kk, lr: (lr[0], kk, j)),
         pl.BlockSpec((None, kb, tn), lambda j, kk, lr, nk=nk: (lr[0], kk + nk, j)),
     ]
     args = [
         jnp.asarray(layer, jnp.int32).reshape(1),
-        x, x, bsums_t, bsums_t, qs, scales, scales,
+        x, x, qs, scales, scales,
     ]
     if has_mins:
         # per-k-tile mins blocks: lo half at kk, hi half at kk + nk (the
@@ -634,9 +597,9 @@ def _q4_matmul_layered(x, layer, qs, scales, mins=None, out_dtype=jnp.bfloat16):
         args += [mins, mins]
         kernel = _q4l_kernel
     else:
-        def kernel(lref, xlo, xhi, bslo, bshi, qs_r, sclo, schi, o, acc):
+        def kernel(lref, xlo, xhi, qs_r, sclo, schi, o, acc):
             return _q4l_kernel(
-                lref, xlo, xhi, bslo, bshi, qs_r, sclo, schi, None, None,
+                lref, xlo, xhi, qs_r, sclo, schi, None, None,
                 o, acc,
             )
     return pl.pallas_call(
@@ -754,7 +717,11 @@ def _q4v3_matmul_layered(x, layer, q32, scales, mins, out_dtype=jnp.bfloat16):
     nk = nw // tw
     tkp = 2 * tw  # k rows per plane per tile
     kbp = tkp // QBLOCK  # scale/bsums rows per plane per tile
-    inkernel_bsums = bool(os.environ.get("NFAI_INKERNEL_BSUMS"))
+    # in-kernel bsums (one extra tiny MXU dot per plane) measured 3026.9 ->
+    # 3129.9 tok/s on the driver config vs the XLA reduce-chain version:
+    # the reduce/transpose/copy ops it replaces were ~50 us/step of scanned
+    # graph time. NFAI_EXTERNAL_BSUMS=1 restores the old path for A/Bs.
+    inkernel_bsums = not os.environ.get("NFAI_EXTERNAL_BSUMS")
     xspecs = [
         pl.BlockSpec((b, tkp), lambda j, kk, lr, p=p, nk=nk: (0, kk + p * nk))
         for p in range(4)

@@ -168,12 +168,13 @@ def main() -> int:
             import dataclasses as _dc
 
             def _cast(qt):
-                if not isinstance(qt, _QT) or qt.kind != "q4v3":
+                if not isinstance(qt, _QT) or qt.kind not in ("q4v3", "q4v3m"):
                     return qt
                 return _dc.replace(
                     qt,
                     scales=qt.scales.astype(jnp.bfloat16),
-                    mins=qt.mins.astype(jnp.bfloat16),
+                    mins=None if qt.mins is None
+                    else qt.mins.astype(jnp.bfloat16),
                 )
 
             params["lm_head"] = _cast(params["lm_head"])

@@ -705,11 +705,20 @@ def _q4v3lb_kernel(
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
-def _q4v3_matmul_layered(x, layer, q32, scales, mins, out_dtype=jnp.bfloat16):
+@functools.partial(jax.jit, static_argnames=("out_dtype", "merged"))
+def _q4v3_matmul_layered(x, layer, q32, scales, mins, out_dtype=jnp.bfloat16,
+                         merged=False):
     """x [B, K] @ v3 stacked container q32 [L, K/8, N] (see ops.qtensor
     to_v3_stacked). scales/mins [L, K/32, N] natural k order — the 4 decode
-    planes ARE contiguous k quarters."""
+    planes ARE contiguous k quarters.
+
+    `merged` (kind "q4v3m"): `scales` is the single [L, 2*K/32, N] array
+    holding scale rows then min rows, and `mins` is the SAME array — the
+    min BlockSpecs just index K/32 rows further down. Keeping the pair in
+    one ≥64 MB array stops XLA memory-space assignment from re-staging
+    the two halves into alternate memory every layer iteration
+    (~1.07 GB/step of async copies on the 1B profile; see
+    ops.qtensor.V3_MERGE_BYTES)."""
     b, k = x.shape
     n = q32.shape[2]
     nw = k // 8
@@ -717,6 +726,7 @@ def _q4v3_matmul_layered(x, layer, q32, scales, mins, out_dtype=jnp.bfloat16):
     nk = nw // tw
     tkp = 2 * tw  # k rows per plane per tile
     kbp = tkp // QBLOCK  # scale/bsums rows per plane per tile
+    moff = (k // QBLOCK) // kbp if merged else 0  # min rows block offset
     # in-kernel bsums (one extra tiny MXU dot per plane) measured 3026.9 ->
     # 3129.9 tok/s on the driver config vs the XLA reduce-chain version:
     # the reduce/transpose/copy ops it replaces were ~50 us/step of scanned
@@ -733,6 +743,13 @@ def _q4v3_matmul_layered(x, layer, q32, scales, mins, out_dtype=jnp.bfloat16):
     sspecs = [
         pl.BlockSpec(
             (None, kbp, tn), lambda j, kk, lr, p=p, nk=nk: (lr[0], kk + p * nk, j)
+        )
+        for p in range(4)
+    ]
+    mspecs = [
+        pl.BlockSpec(
+            (None, kbp, tn),
+            lambda j, kk, lr, p=p, nk=nk, mo=moff: (lr[0], kk + p * nk + mo, j),
         )
         for p in range(4)
     ]
@@ -754,7 +771,7 @@ def _q4v3_matmul_layered(x, layer, q32, scales, mins, out_dtype=jnp.bfloat16):
             + bspecs
             + [pl.BlockSpec((None, tw, tn), lambda j, kk, lr: (lr[0], kk, j))]
             + sspecs
-            + sspecs,
+            + mspecs,
             out_specs=pl.BlockSpec((b, tn), lambda j, kk, lr: (0, j)),
             scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
         ),
@@ -871,6 +888,10 @@ def qmatmul_layered(
             y = _q8_matmul_layered(
                 xb, layer, qt.qs, qt.scales, qt.mins, group=qt.group
             )
+        elif qt.kind == "q4v3m":
+            y = _q4v3_matmul_layered(
+                xb, layer, qt.qs, qt.scales, qt.scales, merged=True
+            )
         elif qt.kind == "q4v3":
             y = _q4v3_matmul_layered(xb, layer, qt.qs, qt.scales, qt.mins)
         else:
@@ -915,7 +936,7 @@ def kernel_supported(qt: QTensor) -> bool:
     # physical N may exceed qt.n (N-padded container); metadata-only views
     # (_layer_view) carry qs=None and are never padded
     n_phys = qt.n if qt.qs is None else qt.qs.shape[-1]
-    if qt.kind == "q4v3":
+    if qt.kind in ("q4v3", "q4v3m"):
         return True  # to_v3 only produces aligned containers (K % 2048)
     if qt.kind == "q8":
         tk, _ = _pick_tiles(0, qt.k, n_phys)
@@ -933,6 +954,10 @@ def _qmatmul_local(xb: jax.Array, qt: QTensor, use_kernel: bool) -> jax.Array:
     # SLOWER than this external rank-1 correction at 1B/b8 on v5e (the
     # selector-matrix block-sum dot costs more per tile than XLA's fused
     # chain); keep the correction outside the kernels.
+    if qt.kind == "q4v3m":
+        from .qtensor import split_v3m
+
+        qt = split_v3m(qt)
     if qt.kind == "q8":
         y = _q8_matmul(xb, qt.qs, qt.scales, None, group=qt.group)
     elif qt.kind == "q4v3":

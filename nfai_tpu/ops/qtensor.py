@@ -378,14 +378,20 @@ def _pack_v3_words(q: np.ndarray) -> np.ndarray:
 V3_SHIFTS = (3, -5, -1, -9)  # per-plane shift (positive = left)
 
 
-def to_v3(qt: QTensor) -> QTensor:
+def to_v3(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
     """Repack a v2 (split-half nibble) 4-bit container into the v3
     bit-decode container (kind "q4v3"): qs int32 [K/8, N], effective
     scales' = 8·s and mins' = m + 16·s so that
     ``scales'·(2 + q/8) - mins'·(Σx per block) ≡ s·q - m`` — the +2 header
     constant folds into the existing rank-1 mins correction for free.
     Used for the LM head only (decode's widest matmul); returns `qt`
-    unchanged when the shape doesn't qualify."""
+    unchanged when the shape doesn't qualify.
+
+    Containers whose scales array reaches `merge_bytes` (default
+    V3_MERGE_BYTES) come back as kind "q4v3m" with scales+mins merged
+    row-wise — XLA memory-space assignment was measured re-staging the
+    128k-vocab head's 33 MB scales AND mins arrays into alternate memory
+    every decode step (2 async copies/step; see V3_MERGE_BYTES)."""
     if (
         qt.kind != "q4"
         or qt.sections != 1
@@ -419,13 +425,29 @@ def to_v3(qt: QTensor) -> QTensor:
     )
 
 
-def to_v3_stacked(qt: QTensor) -> QTensor:
+# Stacked containers whose scales array is at least this big store scales
+# and mins MERGED in one [L, 2*K/32, N] array (kind "q4v3m"). Reason
+# (profile_decode on the 1B q4 decode step): XLA memory-space assignment
+# re-staged w_down's 33.5 MB scales AND mins arrays into alternate memory
+# on EVERY layer iteration — 32 async copies/step, ~1.07 GB/step of pure
+# HBM waste (1.57 ms/step of copy span vs a 2.47 ms step). Arrays at
+# gate_up's 67 MB size were never staged, so merging the two 33.5 MB
+# arrays past that threshold removes the copies entirely (and halves the
+# scale-operand DMA count per grid step as a bonus).
+V3_MERGE_BYTES = 32 << 20
+
+
+def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
     """`to_v3` for a layer-stacked QTensor (leaves [L, ...]); used by
     load_params for decode-path layer weights. In-model evidence for the
     switch (8B profile): every v2 nibble kernel runs ~2.05x its HBM-byte
     ideal while the v3 lm_head runs 1.56x — the int8→bf16 casts are a
     uniform ~2x dequant tax the bit-decode avoids. Returns `qt` unchanged
-    when ineligible (mixed/sectioned/TP/odd-K containers)."""
+    when ineligible (mixed/sectioned/TP/odd-K containers).
+
+    Containers whose scales array reaches `merge_bytes` (default
+    V3_MERGE_BYTES) come back as kind "q4v3m" with scales+mins merged
+    row-wise into one array (see V3_MERGE_BYTES)."""
     if (
         qt.kind != "q4"
         or qt.sections != 1
@@ -447,10 +469,23 @@ def to_v3_stacked(qt: QTensor) -> QTensor:
     sc[:, half:] *= 16.0
     mn[:, half:] += 8.0 * sc[:, half:]
     words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
+    sc_eff = 8.0 * sc
+    mn_eff = mn + 16.0 * sc
+    limit = V3_MERGE_BYTES if merge_bytes is None else merge_bytes
+    if sc_eff.nbytes >= limit:
+        return QTensor(
+            qs=jnp.asarray(words),
+            scales=jnp.asarray(np.concatenate([sc_eff, mn_eff], axis=1)),
+            mins=None,
+            kind="q4v3m",
+            k=qt.k,
+            n=qt.n,
+            group=QBLOCK,
+        )
     return QTensor(
         qs=jnp.asarray(words),
-        scales=jnp.asarray(8.0 * sc),
-        mins=jnp.asarray(mn + 16.0 * sc),
+        scales=jnp.asarray(sc_eff),
+        mins=jnp.asarray(mn_eff),
         kind="q4v3",
         k=qt.k,
         n=qt.n,
@@ -575,9 +610,22 @@ def concat_qtensors(items: list["QTensor"]) -> "QTensor":
 # dequantization (reference path + embedding gather)
 
 
+def split_v3m(qt: QTensor) -> QTensor:
+    """kind "q4v3m" → an equivalent "q4v3" view with separate scales/mins
+    (the merged array holds scale rows [0, K/32) then min rows)."""
+    kb = qt.k // qt.group
+    return qt.replace(
+        scales=qt.scales[..., :kb, :],
+        mins=qt.scales[..., kb:, :],
+        kind="q4v3",
+    )
+
+
 def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Full dense [K, N] dequantization (reference implementation for tests
     and the XLA fallback path)."""
+    if qt.kind == "q4v3m":
+        qt = split_v3m(qt)
     scales = jnp.repeat(qt.scales, qt.group, axis=0)  # [K, N]
     if qt.kind == "q8":
         w = qt.qs.astype(jnp.float32) * scales

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -157,9 +158,17 @@ def main() -> int:
     if args.quant == "q4" and not args.scales_bf16 and not args.no_v3:
         # mirror load_params: all eligible 4-bit weights repack to the
         # cast-free v3 bit-decode container (ops.qtensor)
-        from nfai_tpu.ops.qtensor import QTensor as _QT, to_v3, to_v3_stacked
+        from nfai_tpu.ops.qtensor import (
+            QTensor as _QT, to_v3, to_v3_mlp_stacked, to_v3_stacked,
+        )
 
         params["lm_head"] = to_v3(params["lm_head"])
+        if os.environ.get("NFAI_FUSED_MLP", "1") != "0":
+            params["layers"]["w_gate_up"], params["layers"]["w_down"] = (
+                to_v3_mlp_stacked(
+                    params["layers"]["w_gate_up"], params["layers"]["w_down"]
+                )
+            )
         params["layers"] = {
             k: to_v3_stacked(v) if isinstance(v, _QT) else v
             for k, v in params["layers"].items()

@@ -77,10 +77,18 @@ def build_state(size, quant, batch, seq, prompt):
         "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
     }
     if quant == "q4":
-        from nfai_tpu.ops.qtensor import QTensor as _QT, to_v3, to_v3_stacked
+        from nfai_tpu.ops.qtensor import (
+            QTensor as _QT, to_v3, to_v3_mlp_stacked, to_v3_stacked,
+        )
 
         # mirror load_params: v3 bit-decode containers everywhere eligible
         params["lm_head"] = to_v3(params["lm_head"])
+        if os.environ.get("NFAI_FUSED_MLP", "1") != "0":
+            params["layers"]["w_gate_up"], params["layers"]["w_down"] = (
+                to_v3_mlp_stacked(
+                    params["layers"]["w_gate_up"], params["layers"]["w_down"]
+                )
+            )
         params["layers"] = {
             kk: to_v3_stacked(vv) if isinstance(vv, _QT) else vv
             for kk, vv in params["layers"].items()

@@ -522,14 +522,25 @@ def load_params(
             layers["k_norm"] = [w[within] for w in layers["k_norm"]]
     if fuse:
         _fuse_projections(layers, cfg)
-    from ..ops.qtensor import to_v3_stacked
+    from ..ops.qtensor import to_v3_mlp_stacked, to_v3_stacked
 
     # eligible 4-bit layer weights repack to the cast-free v3 bit-decode
     # container (ops.qtensor; ~2.05x -> ~1.6x of the HBM-byte ideal in the
     # decode kernels). No-op for q8/sectioned/TP/MoE/odd-K leaves.
+    raw = {k: stack(v) for k, v in layers.items()}
+    if (
+        os.environ.get("NFAI_FUSED_MLP", "1") != "0"
+        and isinstance(raw.get("w_gate_up"), QTensor)
+        and isinstance(raw.get("w_down"), QTensor)
+    ):
+        # gate_up/down pairs convert to the one-kernel fused-MLP containers
+        # (ops.fused_mlp; no-op when ineligible — TP marks, odd dims, q8)
+        raw["w_gate_up"], raw["w_down"] = to_v3_mlp_stacked(
+            raw["w_gate_up"], raw["w_down"]
+        )
     stacked = {
         k: put(k, to_v3_stacked(s) if isinstance(s, QTensor) else s)
-        for k, s in ((k, stack(v)) for k, v in layers.items())
+        for k, s in raw.items()
     }
 
     from ..ops.qtensor import pad_qtensor_n
@@ -936,7 +947,20 @@ def _decode_forward_fused(
         act = jax.nn.silu if cfg.activation == "silu" else partial(
             jax.nn.gelu, approximate=True
         )
-        if "w_gate_up" in layers:
+        if (
+            isinstance(layers.get("w_gate_up"), QTensor)
+            and layers["w_gate_up"].kind == "q4mlpg"
+        ):
+            # one-kernel MLP (ops.fused_mlp): gate, up AND down tiles stream
+            # through a single sequential grid; the [B, F] activation never
+            # leaves VMEM and the pair pays one pipeline fill instead of two
+            from ..ops.fused_mlp import fused_mlp_layered
+
+            ffn_out = fused_mlp_layered(
+                x, layers["w_gate_up"], layers["w_down"], lidx,
+                act=cfg.activation,
+            )
+        elif "w_gate_up" in layers:
             gu = linear_layered(x, layers["w_gate_up"], lidx)
             ffn_out = linear_layered(
                 act(gu[..., : cfg.ffn_dim]) * gu[..., cfg.ffn_dim :],
@@ -1165,6 +1189,14 @@ def forward(
         )
         if cfg.n_experts:
             ffn_out = _moe_ffn(x, lp, cfg, act)
+        elif (
+            isinstance(lp.get("w_gate_up"), QTensor)
+            and lp["w_gate_up"].kind == "q4mlpg"
+        ):
+            from ..ops.fused_mlp import fused_mlp
+
+            ffn_out = fused_mlp(x, lp["w_gate_up"], lp["w_down"],
+                                act=cfg.activation)
         elif "w_gate_up" in lp:  # fused projection: one kernel launch
             gu = linear(x, lp["w_gate_up"])
             ffn_out = linear(

@@ -1,0 +1,183 @@
+"""One-kernel quantized MLP: y = (act(x @ Wg) * (x @ Wu)) @ Wd.
+
+Replaces the decode path's two layered dequant-matmul launches for
+w_gate_up / w_down (the reference runs these as separate FFN shader
+dispatches — NFAI.Vulkan.Shaders/TransformerBlock.cs — and the round-2
+profile had the pair at ~1.55 ms of a ~2.8 ms step vs ~0.74 ms of HBM
+bytes). One kernel overlaps everything: a single sequential grid streams
+gate, up, AND down tiles together, the [B, F] activation never leaves
+VMEM, and the pair pays one pipeline fill instead of two.
+
+Layout contract (ops.qtensor.to_v3_mlp_stacked):
+- grid step j covers down v3 word rows [j*TFB/2, (j+1)*TFB/2), which decode
+  the four ffn k-ranges {p*F/4 + [j*TFB, (j+1)*TFB)} (v3 planes are
+  k-quarters);
+- the gate/up container ("q4mlpg") has its ffn columns PRE-PERMUTED into
+  exactly that per-step order, so one [K/8, 4*TFB] BlockSpec per projection
+  fetches all four ranges — 7 operand DMAs per grid step total (the
+  naturally-ordered first probe needed ~25 and lost to the two-kernel path,
+  benchmarks/qmm_fused_mlp.py);
+- the down container ("q4mlpd") keeps natural v3 words and permutes only
+  its merged scale/min rows into the same per-step order.
+
+The per-block affine mins ride in-kernel as rank-1 block-sum dots (same
+trick as ops.qmatmul's layered kernels).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .qmatmul import _block_sums, _interpret, _scaled_deq
+from .qtensor import MLP_TFB, QBLOCK, QTensor
+
+_HDR = 0x40004000
+_MSK = 0x00780078
+_SHIFTS = (3, -5, -1, -9)  # per-plane (qtensor.V3_SHIFTS)
+
+
+def _plane(w, s):
+    sh = (w << s) if s > 0 else (w >> -s)
+    return pltpu.bitcast((sh & jnp.int32(_MSK)) | jnp.int32(_HDR), jnp.bfloat16)
+
+
+def _mlp_kernel(
+    lref, x_ref, gq_ref, uq_ref, gs_ref, us_ref, dq_ref, ds_ref,
+    o_ref, acc_ref, *, k: int, tfb: int, act: str,
+):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...].astype(jnp.bfloat16)  # [BT, K]
+    kq = k // 4  # x rows per v3 plane
+    pb = kq // QBLOCK  # scale rows per plane
+    kb = k // QBLOCK
+
+    def proj(qref, sref):
+        w = qref[...]  # [K/8, 4*TFB] int32
+        sc = sref[...]  # [2*K/32, 4*TFB] merged scales|mins
+        acc = None
+        for p, s in enumerate(_SHIFTS):
+            xp = x[:, p * kq : (p + 1) * kq]
+            wp = _scaled_deq(_plane(w, s), sc[p * pb : (p + 1) * pb], QBLOCK)
+            d = jax.lax.dot(xp, wp, preferred_element_type=jnp.float32)
+            d -= jax.lax.dot(
+                _block_sums(xp, QBLOCK),
+                sc[kb + p * pb : kb + (p + 1) * pb].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        return acc  # [BT, 4*TFB] f32
+
+    g = proj(gq_ref, gs_ref)
+    u = proj(uq_ref, us_ref)
+    if act == "gelu":
+        a = jax.nn.gelu(g, approximate=True) * u
+    else:
+        a = jax.nn.silu(g) * u
+    a = a.astype(jnp.bfloat16)  # [BT, 4*TFB]
+
+    wd = dq_ref[...]  # [TFB/2, H] int32
+    ds = ds_ref[...]  # [2*TFB/8, H] merged scale|min rows (per-step order)
+    fpb = tfb // QBLOCK  # scale rows per down plane (8)
+    for p, s in enumerate(_SHIFTS):
+        ap = a[:, p * tfb : (p + 1) * tfb]
+        wp = _scaled_deq(_plane(wd, s), ds[p * fpb : (p + 1) * fpb], QBLOCK)
+        acc_ref[...] += jax.lax.dot(ap, wp, preferred_element_type=jnp.float32)
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(ap, QBLOCK),
+            ds[(4 + p) * fpb : (5 + p) * fpb].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "out_dtype"))
+def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16):
+    """x [B, K] through stacked fused-MLP containers:
+    gq [L, K/8, 2F] (q4mlpg words, ffn-permuted; gate cols [0,F), up [F,2F)),
+    gs [L, 2K/32, 2F] merged scales|mins (same column order),
+    dq [L, F/8, H] natural v3 words,
+    ds [L, 2F/32, H] merged scale|min rows in per-step order."""
+    b, k = x.shape
+    f2 = gq.shape[2]
+    f = f2 // 2
+    h = dq.shape[2]
+    tfb = MLP_TFB
+    nj = f // (4 * tfb)
+    kb = k // QBLOCK
+    # batch tiling: decode is a single small tile; prefill rows step down to
+    # keep the operand set + per-tile accumulator inside VMEM
+    bt = b if b <= 128 else 128
+    pad = (-b) % bt
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    nb = x.shape[0] // bt
+
+    grid = (nb, nj)
+    in_specs = [
+        pl.BlockSpec((bt, k), lambda bi, j, lr: (bi, 0)),
+        pl.BlockSpec((None, k // 8, 4 * tfb), lambda bi, j, lr: (lr[0], 0, j)),
+        pl.BlockSpec(
+            (None, k // 8, 4 * tfb), lambda bi, j, lr, nj=nj: (lr[0], 0, j + nj)
+        ),
+        pl.BlockSpec((None, 2 * kb, 4 * tfb), lambda bi, j, lr: (lr[0], 0, j)),
+        pl.BlockSpec(
+            (None, 2 * kb, 4 * tfb), lambda bi, j, lr, nj=nj: (lr[0], 0, j + nj)
+        ),
+        pl.BlockSpec((None, tfb // 2, h), lambda bi, j, lr: (lr[0], j, 0)),
+        pl.BlockSpec((None, tfb // 4, h), lambda bi, j, lr: (lr[0], j, 0)),
+    ]
+    y = pl.pallas_call(
+        functools.partial(_mlp_kernel, k=k, tfb=tfb, act=act),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], h), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bt, h), lambda bi, j, lr: (bi, 0)),
+            scratch_shapes=[pltpu.VMEM((bt, h), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * f2 + 2 * b * f * h,
+            bytes_accessed=(k // 2) * f2 + (k // QBLOCK) * f2 * 8
+            + (f // 2) * h + (f // QBLOCK) * h * 8 + b * (k + h) * 2,
+            transcendentals=b * f,
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, gq, gq, gs, gs, dq, ds)
+    return y[:b] if pad else y
+
+
+def fused_mlp_layered(
+    x: jax.Array, gu: QTensor, dn: QTensor, layer, act: str = "silu"
+) -> jax.Array:
+    """Layer-indexed fused MLP over stacked "q4mlpg"/"q4mlpd" containers.
+    x [..., K] -> [..., H]."""
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, gu.k)
+    y = _fused_mlp(xb, layer, gu.qs, gu.scales, dn.qs, dn.scales, act=act)
+    return y.reshape(*lead, dn.n).astype(x.dtype)
+
+
+def fused_mlp(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
+    """Single-layer (sliced-container) fused MLP — wraps the leaves in a
+    1-layer stack (XLA reshape, no copy) and indexes layer 0."""
+    return fused_mlp_layered(
+        x,
+        gu.replace(qs=gu.qs[None], scales=gu.scales[None]),
+        dn.replace(qs=dn.qs[None], scales=dn.scales[None]),
+        0,
+        act=act,
+    )

@@ -933,6 +933,10 @@ def kernel_supported(qt: QTensor) -> bool:
     per-shard view is single-section) fall back to the XLA dequant path."""
     if qt.sections != 1:
         return False
+    if qt.kind in ("q4mlpg", "q4mlpd"):
+        # fused-MLP containers (ffn-permuted) are consumed ONLY by
+        # ops.fused_mlp; the generic kernels would read them mis-ordered
+        return False
     # physical N may exceed qt.n (N-padded container); metadata-only views
     # (_layer_view) carry qs=None and are never padded
     n_phys = qt.n if qt.qs is None else qt.qs.shape[-1]

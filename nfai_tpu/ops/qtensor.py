@@ -459,18 +459,8 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
         or np.asarray(qt.qs).ndim != 3
     ):
         return qt
-    byte = np.asarray(qt.qs).view(np.uint8)  # [L, K/2, N]
-    lo = byte & 0x0F
-    hi = ((byte >> 4) + 8) & 0x0F
-    q = np.concatenate([lo, hi], axis=1)  # [L, K, N] natural k order
-    sc = np.asarray(qt.scales, np.float32).copy()
-    mn = np.asarray(qt.mins, np.float32).copy()
-    half = sc.shape[1] // 2
-    sc[:, half:] *= 16.0
-    mn[:, half:] += 8.0 * sc[:, half:]
+    q, sc_eff, mn_eff = _v3_natural(qt)
     words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
-    sc_eff = 8.0 * sc
-    mn_eff = mn + 16.0 * sc
     limit = V3_MERGE_BYTES if merge_bytes is None else merge_bytes
     if sc_eff.nbytes >= limit:
         return QTensor(
@@ -491,6 +481,108 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
         n=qt.n,
         group=QBLOCK,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused-MLP container (kinds "q4mlpg" / "q4mlpd")
+#
+# ops.fused_mlp runs the whole per-layer MLP — y = (act(x@Wg) * (x@Wu)) @ Wd —
+# as ONE Pallas kernel whose grid walks the down-projection's v3 word rows.
+# A word-row tile of the down matrix decodes FOUR k-ranges at once (the v3
+# planes are k-quarters), so the gate/up columns feeding each grid step are
+# the four ranges {p*F/4 + [j*MLP_TFB, (j+1)*MLP_TFB)}. Baking that column
+# order into the gate/up container ("q4mlpg") lets one BlockSpec fetch all
+# four ranges contiguously — 7 chunky operand DMAs per grid step instead of
+# the ~25 a naturally-ordered container needs (the first fused-MLP probe,
+# benchmarks/qmm_fused_mlp.py, lost to the two-kernel path on exactly that).
+# The down container ("q4mlpd") keeps its v3 words natural and permutes only
+# the scale/min ROWS into the same per-step order. Both permutations are
+# internal relabelings of the ffn axis — conversion and dequantization are
+# exact inverses (see dequant_qtensor).
+
+MLP_TFB = 256  # ffn elements per plane per grid step (baked into the perm)
+
+
+def mlp_col_perm(f: int, tfb: int = MLP_TFB) -> np.ndarray:
+    """ffn-axis permutation: position (j, p, t) ← old column p*F/4 + j*tfb + t
+    — grid step j's four down-plane ranges, made contiguous."""
+    nj = f // (4 * tfb)
+    j, p, t = np.meshgrid(
+        np.arange(nj), np.arange(4), np.arange(tfb), indexing="ij"
+    )
+    return (p * (f // 4) + j * tfb + t).reshape(-1)
+
+
+def mlp_eligible(gu: "QTensor", dn: "QTensor") -> bool:
+    """Both containers convertible to the fused-MLP layout: stacked 4-bit
+    affine pairs with plane-aligned K and MLP_TFB-aligned ffn dim."""
+    f = gu.n // 2
+    return (
+        gu.kind == "q4" and dn.kind == "q4"
+        and gu.sections == 1 and dn.sections == 1
+        and gu.tp_mode is None and dn.tp_mode is None
+        and gu.group == QBLOCK and dn.group == QBLOCK
+        and gu.mins is not None and dn.mins is not None
+        and gu.qs is not None and np.asarray(gu.qs).ndim == 3
+        and dn.qs is not None and np.asarray(dn.qs).ndim == 3
+        and gu.n == 2 * f and dn.k == f
+        and gu.k % 1024 == 0  # scale rows per x-plane stay a multiple of 8
+        and f % (4 * MLP_TFB) == 0
+        and np.asarray(gu.qs).shape[-1] == gu.n  # no N padding
+        and np.asarray(dn.qs).shape[-1] == dn.n
+    )
+
+
+def _v3_natural(qt: "QTensor"):
+    """Stacked v2 q4 → (nibble values [L, K, N] in natural k order,
+    effective v3 scales, effective v3 mins) — shared by to_v3_stacked and
+    the fused-MLP conversion."""
+    byte = np.asarray(qt.qs).view(np.uint8)  # [L, K/2, N]
+    lo = byte & 0x0F
+    hi = ((byte >> 4) + 8) & 0x0F
+    q = np.concatenate([lo, hi], axis=1)  # [L, K, N]
+    sc = np.asarray(qt.scales, np.float32).copy()
+    mn = np.asarray(qt.mins, np.float32).copy()
+    half = sc.shape[1] // 2
+    sc[:, half:] *= 16.0
+    mn[:, half:] += 8.0 * sc[:, half:]
+    return q, 8.0 * sc, mn + 16.0 * sc
+
+
+def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
+    """Convert a stacked (w_gate_up, w_down) q4 pair to the fused-MLP
+    containers ("q4mlpg", "q4mlpd") consumed by ops.fused_mlp. Returns the
+    pair unchanged when ineligible."""
+    if not mlp_eligible(gu, dn):
+        return gu, dn
+    f = gu.n // 2
+    perm = mlp_col_perm(f)
+    perm2 = np.concatenate([perm, f + perm])  # gate block | up block
+    q, sc, mn = _v3_natural(gu)
+    q, sc, mn = q[:, :, perm2], sc[:, :, perm2], mn[:, :, perm2]
+    words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
+    gu_out = QTensor(
+        qs=jnp.asarray(words),
+        scales=jnp.asarray(np.concatenate([sc, mn], axis=1)),
+        mins=None, kind="q4mlpg", k=gu.k, n=gu.n, group=QBLOCK,
+    )
+    q, sc, mn = _v3_natural(dn)
+    rperm = mlp_col_perm(f, MLP_TFB)[:: QBLOCK] // QBLOCK  # scale-row order
+    words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
+    # merged rows grouped PER GRID STEP: [sc rows of step j | min rows of
+    # step j] so one BlockSpec fetches both (rows_per_step = 4*TFB/32 each)
+    rps = 4 * MLP_TFB // QBLOCK
+    l, fb, h = sc.shape
+    nj = fb // rps
+    sp = sc[:, rperm].reshape(l, nj, rps, h)
+    mp = mn[:, rperm].reshape(l, nj, rps, h)
+    merged = np.concatenate([sp, mp], axis=2).reshape(l, 2 * fb, h)
+    dn_out = QTensor(
+        qs=jnp.asarray(words),
+        scales=jnp.asarray(merged),
+        mins=None, kind="q4mlpd", k=dn.k, n=dn.n, group=QBLOCK,
+    )
+    return gu_out, dn_out
 
 
 def _dequant_v3_values(qs32: jax.Array, k: int) -> jax.Array:
@@ -624,6 +716,28 @@ def split_v3m(qt: QTensor) -> QTensor:
 def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Full dense [K, N] dequantization (reference implementation for tests
     and the XLA fallback path)."""
+    if qt.kind == "q4mlpg":
+        # merged scales + ffn-permuted columns (see to_v3_mlp_stacked):
+        # dequantize in physical order, then un-permute the columns
+        f = qt.n // 2
+        perm = mlp_col_perm(f)
+        perm2 = np.concatenate([perm, f + perm])
+        inv = np.argsort(perm2)
+        w = dequant_qtensor(split_v3m(qt.replace(kind="q4v3m")), dtype)
+        return w[:, inv]
+    if qt.kind == "q4mlpd":
+        # natural v3 words; scale/min rows are permuted AND interleaved per
+        # grid step ([sc rows of step j | min rows of step j])
+        rperm = mlp_col_perm(qt.k)[:: QBLOCK] // QBLOCK
+        inv = np.argsort(rperm)
+        kb = qt.k // qt.group
+        rps = 4 * MLP_TFB // QBLOCK
+        h = qt.scales.shape[-1]
+        grouped = qt.scales.reshape(-1, 2 * rps, h)
+        nj = grouped.shape[0]
+        sc = grouped[:, :rps].reshape(nj * rps, h)[inv]
+        mn = grouped[:, rps:].reshape(nj * rps, h)[inv]
+        qt = qt.replace(scales=sc, mins=mn, kind="q4v3")
     if qt.kind == "q4v3m":
         qt = split_v3m(qt)
     scales = jnp.repeat(qt.scales, qt.group, axis=0)  # [K, N]

@@ -176,10 +176,29 @@ def test_v3_full_model_decode(tmp_path):
         tied=False, seed=13,
     )
     eng = InferenceEngine(path, EngineConfig(max_seq_len=64))
-    assert eng.params["layers"]["w_gate_up"].kind == "q4v3"
-    assert eng.params["layers"]["w_down"].kind == "q4v3"
+    # the gate_up/down pair converts further to the fused-MLP containers
+    # (ops.fused_mlp); other layer weights go to the v3 bit-decode container
+    assert eng.params["layers"]["w_gate_up"].kind == "q4mlpg"
+    assert eng.params["layers"]["w_down"].kind == "q4mlpd"
+    assert eng.params["layers"]["wqkv"].kind in ("q4v3", "q4v3m")
     out = list(
         eng.generate([2, 4, 6], SamplingParams(temperature=0.0,
                                                max_new_tokens=4))
     )
     assert len(out) == 4
+
+    # same model with the fused-MLP conversion disabled: greedy decode must
+    # produce the same tokens (the kernels share bf16 rounding behavior)
+    import os
+
+    os.environ["NFAI_FUSED_MLP"] = "0"
+    try:
+        eng2 = InferenceEngine(path, EngineConfig(max_seq_len=64))
+        assert eng2.params["layers"]["w_gate_up"].kind == "q4v3"
+        out2 = list(
+            eng2.generate([2, 4, 6], SamplingParams(temperature=0.0,
+                                                    max_new_tokens=4))
+        )
+    finally:
+        del os.environ["NFAI_FUSED_MLP"]
+    assert out == out2

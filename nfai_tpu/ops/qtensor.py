@@ -44,14 +44,30 @@ from ..gguf.constants import GGMLType
 from ..gguf.quants import _unpack_kquant_scales
 
 QBLOCK = 32  # default scale granularity along K
-# Effective scales/mins stay f32 in HBM: bf16 storage was measured to double
-# Q8_0's effective weight error (bf16 eps 0.4% vs f16-scale-exact), violating
-# the "ppl within llama.cpp's delta" target for ~1 bit/elem of bandwidth.
-# NFAI_SCALE_DTYPE=bf16 is an A/B escape hatch (perf probes only).
+# Effective scales/mins stay f32 in HBM for the v2/q8 containers: bf16 storage
+# was measured to double Q8_0's effective weight error (bf16 eps 0.4% vs
+# f16-scale-exact), violating the "ppl within llama.cpp's delta" target for
+# ~1 bit/elem of bandwidth. NFAI_SCALE_DTYPE=bf16 is an A/B escape hatch
+# (perf probes only).
 SCALE_DTYPE = np.float32
 MIN_DTYPE = np.float32
 if os.environ.get("NFAI_SCALE_DTYPE") == "bf16":  # pragma: no cover
     SCALE_DTYPE = MIN_DTYPE = ml_dtypes.bfloat16
+
+
+def _v3_scale_dtype():
+    """Storage dtype for v3-container (4-bit) scales/mins: bf16 by default.
+
+    Unlike the q8 case above this is nearly free accuracy-wise: the matmul
+    kernels multiply the decoded values by scales in bf16 REGARDLESS
+    (qmatmul._scaled_deq), so f32 storage only adds precision to the rank-1
+    mins-correction dot. bf16 halves the scale-array HBM bytes (+6.3% tok/s
+    on the 1B q4 decode bench) and drops the arrays below XLA's per-layer
+    alternate-memory re-staging threshold. NFAI_V3_SCALE_DTYPE=f32 restores
+    f32 storage (A/B + accuracy-paranoia escape hatch)."""
+    if os.environ.get("NFAI_V3_SCALE_DTYPE") == "f32":
+        return jnp.float32
+    return jnp.bfloat16
 
 
 @partial(
@@ -414,10 +430,11 @@ def to_v3(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
     half = sc.shape[0] // 2
     sc[half:] *= 16.0  # undo the v2 high-half /16 fold
     mn[half:] += 8.0 * sc[half:]  # undo the v2 high-half -8·s bias fold
+    sdt = _v3_scale_dtype()
     return QTensor(
         qs=jnp.asarray(_pack_v3_words(q)),
-        scales=jnp.asarray(8.0 * sc),
-        mins=jnp.asarray(mn + 16.0 * sc),
+        scales=jnp.asarray(8.0 * sc, sdt),
+        mins=jnp.asarray(mn + 16.0 * sc, sdt),
         kind="q4v3",
         k=k,
         n=qt.n,
@@ -461,11 +478,12 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
         return qt
     q, sc_eff, mn_eff = _v3_natural(qt)
     words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
+    sdt = _v3_scale_dtype()
     limit = V3_MERGE_BYTES if merge_bytes is None else merge_bytes
     if sc_eff.nbytes >= limit:
         return QTensor(
             qs=jnp.asarray(words),
-            scales=jnp.asarray(np.concatenate([sc_eff, mn_eff], axis=1)),
+            scales=jnp.asarray(np.concatenate([sc_eff, mn_eff], axis=1), sdt),
             mins=None,
             kind="q4v3m",
             k=qt.k,
@@ -474,8 +492,8 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
         )
     return QTensor(
         qs=jnp.asarray(words),
-        scales=jnp.asarray(sc_eff),
-        mins=jnp.asarray(mn_eff),
+        scales=jnp.asarray(sc_eff, sdt),
+        mins=jnp.asarray(mn_eff, sdt),
         kind="q4v3",
         k=qt.k,
         n=qt.n,
@@ -555,6 +573,7 @@ def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
     pair unchanged when ineligible."""
     if not mlp_eligible(gu, dn):
         return gu, dn
+    sdt = _v3_scale_dtype()
     f = gu.n // 2
     perm = mlp_col_perm(f)
     perm2 = np.concatenate([perm, f + perm])  # gate block | up block
@@ -563,7 +582,7 @@ def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
     words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
     gu_out = QTensor(
         qs=jnp.asarray(words),
-        scales=jnp.asarray(np.concatenate([sc, mn], axis=1)),
+        scales=jnp.asarray(np.concatenate([sc, mn], axis=1), sdt),
         mins=None, kind="q4mlpg", k=gu.k, n=gu.n, group=QBLOCK,
     )
     q, sc, mn = _v3_natural(dn)
@@ -579,7 +598,7 @@ def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
     merged = np.concatenate([sp, mp], axis=2).reshape(l, 2 * fb, h)
     dn_out = QTensor(
         qs=jnp.asarray(words),
-        scales=jnp.asarray(merged),
+        scales=jnp.asarray(merged, sdt),
         mins=None, kind="q4mlpd", k=dn.k, n=dn.n, group=QBLOCK,
     )
     return gu_out, dn_out
@@ -716,6 +735,13 @@ def split_v3m(qt: QTensor) -> QTensor:
 def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Full dense [K, N] dequantization (reference implementation for tests
     and the XLA fallback path)."""
+    if qt.kind in ("q4mlpg", "q4mlpd") and qt.qs.ndim != 2:
+        # the branches below assume a 2D per-layer slice; a stacked [L, ...]
+        # container would silently reshape L into the wrong axis
+        raise ValueError(
+            f"dequant_qtensor({qt.kind}) needs a per-layer 2D slice, got "
+            f"qs.ndim={qt.qs.ndim}; index the layer axis first"
+        )
     if qt.kind == "q4mlpg":
         # merged scales + ffn-permuted columns (see to_v3_mlp_stacked):
         # dequantize in physical order, then un-permute the columns

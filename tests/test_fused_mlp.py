@@ -39,7 +39,10 @@ def _slice(qt, i):
     )
 
 
-def test_conversion_roundtrip_exact():
+def test_conversion_roundtrip_exact(monkeypatch):
+    # f32 scale storage isolates the permutation/packing math (the bf16
+    # default's rounding is bounded in test_qtensor_v3)
+    monkeypatch.setenv("NFAI_V3_SCALE_DTYPE", "f32")
     rng = np.random.default_rng(0)
     gu, dn = _pair(rng)
     gum, dnm = to_v3_mlp_stacked(gu, dn)

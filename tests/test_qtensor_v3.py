@@ -48,16 +48,41 @@ def test_pack_v3_words_layout():
 
 
 @pytest.mark.parametrize("with_mins", [True, False])
-def test_v3_dequant_matches_v2(with_mins):
+def test_v3_dequant_matches_v2(with_mins, monkeypatch):
+    # f32 scale storage isolates the packing math (bf16 default tested below)
+    monkeypatch.setenv("NFAI_V3_SCALE_DTYPE", "f32")
     rng = np.random.default_rng(1)
     qt = make_v2(rng, 2048, 256, with_mins)
     v3 = to_v3(qt)
     assert v3.kind == "q4v3"
+    assert v3.scales.dtype == jnp.float32
     w2 = np.asarray(dequant_qtensor(qt, jnp.float32))
     w3 = np.asarray(dequant_qtensor(v3, jnp.float32))
     # both expand the same integers; bf16 plane decode is exact for
     # (2 + q/8) so the only difference is f32 rounding in scale folds
     np.testing.assert_allclose(w3, w2, rtol=2e-3, atol=2e-6)
+
+
+def test_v3_bf16_scale_default_error_bound():
+    """v3 containers store scales/mins bf16 by default; the added error vs
+    f32 storage must stay within bf16 rounding of the weight magnitudes —
+    far below 4-bit quantization noise (the kernels multiply scales in bf16
+    regardless, so only the rank-1 mins correction gains from f32)."""
+    rng = np.random.default_rng(11)
+    qt = make_v2(rng, 2048, 256, True)
+    v3 = to_v3(qt)
+    assert v3.scales.dtype == jnp.bfloat16
+    w2 = np.asarray(dequant_qtensor(qt, jnp.float32))
+    w3 = np.asarray(dequant_qtensor(v3, jnp.float32))
+    # bf16 has 8 mantissa bits -> each of the two v3 terms
+    # (scale*(2+q/8), mins) carries <= 2^-9 relative rounding; the error
+    # bound is relative to the TERM magnitudes (which partially cancel in
+    # the weight value), not the weight magnitude
+    term_mag = (
+        np.abs(np.asarray(v3.scales, np.float32)).max() * 3.875
+        + np.abs(np.asarray(v3.mins, np.float32)).max()
+    )
+    assert np.abs(w3 - w2).max() < 2 ** -7 * term_mag
 
 
 def test_v3_matmul_matches_v2():

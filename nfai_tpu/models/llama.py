@@ -1193,10 +1193,20 @@ def forward(
             isinstance(lp.get("w_gate_up"), QTensor)
             and lp["w_gate_up"].kind == "q4mlpg"
         ):
-            from ..ops.fused_mlp import fused_mlp
+            from ..ops.fused_mlp import (
+                MLP_FUSED_MAX_ROWS, fused_mlp, mlp_prefill,
+            )
 
-            ffn_out = fused_mlp(x, lp["w_gate_up"], lp["w_down"],
-                                act=cfg.activation)
+            # the fused kernel re-streams the MLP weights once per 128-row
+            # batch tile — a decode-shaped win that loses on long prefill
+            # chunks; large row counts dequantize once instead
+            rows = x.size // x.shape[-1]
+            if rows > MLP_FUSED_MAX_ROWS:
+                ffn_out = mlp_prefill(x, lp["w_gate_up"], lp["w_down"],
+                                      act=cfg.activation)
+            else:
+                ffn_out = fused_mlp(x, lp["w_gate_up"], lp["w_down"],
+                                    act=cfg.activation)
         elif "w_gate_up" in lp:  # fused projection: one kernel launch
             gu = linear(x, lp["w_gate_up"])
             ffn_out = linear(
@@ -1314,7 +1324,7 @@ def _ngram_draft_device(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_rounds", "gamma", "ngram"),
+    static_argnames=("cfg", "n_rounds", "gamma", "ngram", "top_k"),
     donate_argnames=("cache", "hist"),
 )
 def spec_decode_rounds(
@@ -1331,12 +1341,26 @@ def spec_decode_rounds(
     gamma: int,
     ngram: int,
     page_tables: jax.Array | None = None,  # [B, NP]: paged-pool verify
+    key: jax.Array | None = None,  # sampled acceptance (None = greedy)
+    temps: jax.Array | None = None,  # [B] per-lane temperature
+    top_k: int = 64,
+    top_ps: jax.Array | None = None,  # [B]
+    top_k_rows: jax.Array | None = None,  # [B]
+    min_ps: jax.Array | None = None,  # [B]
 ) -> tuple:
-    """Fused greedy speculative decoding: `n_rounds` of (on-device n-gram
-    draft → ONE verify forward of gamma+1 tokens → longest-prefix accept)
-    in a single jitted call — the host-loop version pays the full dispatch
-    latency per verify (~26 ms on a tunneled chip), this pays it once per
-    `n_rounds`. Greedy only (matches plain argmax decoding exactly).
+    """Fused speculative decoding: `n_rounds` of (on-device n-gram draft →
+    ONE verify forward of gamma+1 tokens → accept) in a single jitted call —
+    the host-loop version pays the full dispatch latency per verify (~26 ms
+    on a tunneled chip), this pays it once per `n_rounds`.
+
+    Acceptance: with `temps`/`key` unset, greedy longest-argmax-prefix
+    (matches plain argmax decoding exactly). With them set, REJECTION
+    SAMPLING (ops.sampling.spec_verify_sample): draft token d accepted with
+    probability p(d) under the lane's full sampling pipeline, residual
+    resample on rejection — token-by-token the output law equals plain
+    sampling, so temperature>0 lanes (and mixed greedy/sampled batches)
+    speculate too; greedy lanes inside a sampled batch reduce to the exact
+    argmax rule.
 
     A lane deactivates when its pending token is EOS, an accepted draft
     hits EOS, or the cache lacks room for a full round; its state freezes
@@ -1347,17 +1371,23 @@ def spec_decode_rounds(
     next_tokens [B], next_pos [B], cache, hist, hist_len, active [B],
     drafted [B], accepted [B]). out_tokens[b, :out_counts[b]] are the
     emitted tokens in order (EOS excluded — a lane stops before it)."""
+    from ..ops.sampling import spec_verify_sample
+
     b = tokens.shape[0]
     s_cache = cache.max_seq if hasattr(cache, "max_seq") else hist.shape[1]
     t = gamma + 1
     n_out = n_rounds * t
     jt = jnp.arange(t, dtype=jnp.int32)[None]  # [1, T]
+    sampled = temps is not None
+    if key is None:
+        key = jax.random.PRNGKey(0)  # unused in the greedy path
 
     def is_eos(x):  # x [...]: True where token is one of eos_ids
         return jnp.any(x[..., None] == eos_ids[None], axis=-1)
 
     def round_body(carry, _):
-        tok, pos, cache, hist, hlen, outs, ocnt, act, drafted, accepted = carry
+        (tok, pos, cache, hist, hlen, outs, ocnt, act, drafted, accepted,
+         key) = carry
         act = act & ~is_eos(tok) & (pos + t <= s_cache)
         draft, _found = _ngram_draft_device(hist, hlen, ngram, gamma)
         tin = jnp.concatenate([tok[:, None], draft], axis=1)  # [B, T]
@@ -1367,11 +1397,19 @@ def spec_decode_rounds(
             params, cfg, tin, posv, cache, uniform_start=False,
             page_tables=page_tables,
         )
-        nxt = jnp.argmax(
-            logits_for(params, h, cfg).astype(jnp.float32), axis=-1
-        ).astype(jnp.int32)  # [B, T]
-        ok = (draft == nxt[:, :-1]).astype(jnp.int32)  # [B, gamma]
-        n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # [B] 0..gamma
+        logits3 = logits_for(params, h, cfg).astype(jnp.float32)  # [B, T, V]
+        if sampled:
+            key, sub = jax.random.split(key)
+            n_acc, new_tok = spec_verify_sample(
+                logits3, draft, sub, temps, top_k,
+                1.0 if top_ps is None else top_ps, top_k_rows,
+                0.0 if min_ps is None else min_ps,
+            )
+        else:
+            nxt = jnp.argmax(logits3, axis=-1).astype(jnp.int32)  # [B, T]
+            ok = (draft == nxt[:, :-1]).astype(jnp.int32)  # [B, gamma]
+            n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)  # [B] 0..gamma
+            new_tok = jnp.take_along_axis(nxt, n_acc[:, None], axis=1)[:, 0]
         e = n_acc + 1  # tokens this round: tin[:, :e] ([tok] + accepted)
         # truncate at the first EOS among the emitted tokens (excluded)
         emit_eos = is_eos(tin) & (jt < e[:, None])
@@ -1381,8 +1419,7 @@ def spec_decode_rounds(
         hit_eos = first_eos < e
         e = jnp.where(hit_eos, first_eos, e)
         e = jnp.where(act, e, 0)
-        # next pending token: greedy continuation after the accepted prefix
-        new_tok = jnp.take_along_axis(nxt, n_acc[:, None], axis=1)[:, 0]
+        # next pending token: continuation after the accepted prefix
         new_tok = jnp.where(act & ~hit_eos, new_tok, tok)
         # scatter emitted tokens into the output buffer
         bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
@@ -1403,16 +1440,16 @@ def spec_decode_rounds(
         act = act & ~hit_eos
         return (
             new_tok, pos + adv, cache, hist, hlen + adv, outs, ocnt + adv,
-            act, drafted, accepted,
+            act, drafted, accepted, key,
         ), None
 
     outs0 = jnp.zeros((b, n_out), jnp.int32)
     zero = jnp.zeros((b,), jnp.int32)
-    (tok, pos, cache, hist, hlen, outs, ocnt, act, drafted, accepted), _ = (
+    (tok, pos, cache, hist, hlen, outs, ocnt, act, drafted, accepted, _), _ = (
         jax.lax.scan(
             round_body,
             (tokens, positions, cache, hist, hist_len, outs0, zero,
-             active, zero, zero),
+             active, zero, zero, key),
             None,
             length=n_rounds,
         )
@@ -1563,6 +1600,7 @@ def decode_loop(
     frequency: jax.Array | float | None = None,  # [B] frequency penalty
     counts: jax.Array | None = None,  # [B, V] int32 output-token counts
     n_logprobs: int | None = None,  # static: OpenAI logprobs (0=chosen only)
+    allowed_mask: jax.Array | None = None,  # [B, V] bool: legal next tokens
 ) -> tuple:
     """Generate `n_steps` tokens fully on device (no host sync per token).
 
@@ -1600,6 +1638,12 @@ def decode_loop(
                 0.0 if presence is None else presence,
                 0.0 if frequency is None else frequency,
             )
+        if allowed_mask is not None:
+            # grammar-constrained slots: illegal continuations go to -inf
+            # (the host recomputes per-slot masks between chunks, so
+            # constrained batches run n_steps=1; unconstrained rows pass
+            # an all-True mask)
+            logits = jnp.where(allowed_mask, logits, -jnp.inf)
         key, sub = jax.random.split(key)
         nxt = sample_logits(
             logits, sub, temperature, top_k, top_p, top_k_rows, min_p
@@ -1746,6 +1790,7 @@ def paged_decode_loop(
     frequency: jax.Array | float | None = None,
     counts: jax.Array | None = None,
     n_logprobs: int | None = None,
+    allowed_mask: jax.Array | None = None,  # [B, V] bool: legal next tokens
 ) -> tuple:
     """`decode_loop` over the paged pool: same fused-chunk semantics, with
     KV writes scattered through the block tables and attention via the
@@ -1779,6 +1824,8 @@ def paged_decode_loop(
                 0.0 if presence is None else presence,
                 0.0 if frequency is None else frequency,
             )
+        if allowed_mask is not None:
+            logits = jnp.where(allowed_mask, logits, -jnp.inf)
         key, sub = jax.random.split(key)
         nxt = sample_logits(
             logits, sub, temperature, top_k, top_p, top_k_rows, min_p

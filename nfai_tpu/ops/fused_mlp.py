@@ -39,6 +39,35 @@ _HDR = 0x40004000
 _MSK = 0x00780078
 _SHIFTS = (3, -5, -1, -9)  # per-plane (qtensor.V3_SHIFTS)
 
+# Per-grid-cell VMEM budget (v5e VMEM is 16 MB; leave headroom for the
+# scalar-prefetch machinery and Mosaic's own buffers). Weight operand
+# blocks are double-buffered across the sequential grid axis.
+_VMEM_BUDGET = 13 << 20
+
+
+def mlp_weight_block_bytes(k: int, h: int, scale_itemsize: int,
+                           tfb: int = MLP_TFB) -> int:
+    """Bytes of the per-grid-step weight operand blocks (gate + up + down
+    words and their merged scale blocks) — the VMEM-dominant term."""
+    gq_uq = 2 * (k // 8) * (4 * tfb) * 4
+    gs_us = 2 * (2 * (k // QBLOCK)) * (4 * tfb) * scale_itemsize
+    dq = (tfb // 2) * h * 4
+    ds = (2 * tfb // 8) * h * scale_itemsize
+    return gq_uq + gs_us + dq + ds
+
+
+def _pick_bt(b: int, k: int, h: int, wbytes: int) -> int | None:
+    """Largest batch tile whose working set fits the VMEM budget: weight
+    blocks double-buffer across grid steps; each batch row adds x (bf16,
+    double-buffered), the f32 accumulator, and the output block."""
+    per_row = 2 * 2 * k + 4 * h + 2 * 2 * h
+    bt = min(b, 128)
+    while bt > 8:
+        if 2 * wbytes + bt * per_row <= _VMEM_BUDGET:
+            return bt
+        bt //= 2
+    return bt if 2 * wbytes + bt * per_row <= _VMEM_BUDGET else None
+
 
 def _plane(w, s):
     sh = (w << s) if s > 0 else (w >> -s)
@@ -100,23 +129,29 @@ def _mlp_kernel(
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("act", "out_dtype"))
-def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16):
+@functools.partial(jax.jit, static_argnames=("act", "out_dtype", "tfb"))
+def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16,
+               tfb=MLP_TFB):
     """x [B, K] through stacked fused-MLP containers:
     gq [L, K/8, 2F] (q4mlpg words, ffn-permuted; gate cols [0,F), up [F,2F)),
     gs [L, 2K/32, 2F] merged scales|mins (same column order),
     dq [L, F/8, H] natural v3 words,
-    ds [L, 2F/32, H] merged scale|min rows in per-step order."""
+    ds [L, 2F/32, H] merged scale|min rows in per-step order.
+    `tfb` must match the width baked into the container permutations."""
     b, k = x.shape
     f2 = gq.shape[2]
     f = f2 // 2
     h = dq.shape[2]
-    tfb = MLP_TFB
     nj = f // (4 * tfb)
     kb = k // QBLOCK
-    # batch tiling: decode is a single small tile; prefill rows step down to
-    # keep the operand set + per-tile accumulator inside VMEM
-    bt = b if b <= 128 else 128
+    # batch tiling: decode is a single small tile; bigger row counts step
+    # down to keep the operand set + per-tile accumulator inside VMEM
+    # (mlp_eligible guarantees bt=8 fits; callers route large row counts
+    # to mlp_prefill instead of re-streaming weights per tile)
+    wbytes = mlp_weight_block_bytes(k, h, gs.dtype.itemsize, tfb)
+    bt = _pick_bt(b, k, h, wbytes)
+    if bt is None:  # pragma: no cover - mlp_eligible guards this
+        raise ValueError("fused-MLP operand blocks exceed the VMEM budget")
     pad = (-b) % bt
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -148,6 +183,7 @@ def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=(100 << 20),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * f2 + 2 * b * f * h,
@@ -167,7 +203,8 @@ def fused_mlp_layered(
     x [..., K] -> [..., H]."""
     lead = x.shape[:-1]
     xb = x.reshape(-1, gu.k)
-    y = _fused_mlp(xb, layer, gu.qs, gu.scales, dn.qs, dn.scales, act=act)
+    y = _fused_mlp(xb, layer, gu.qs, gu.scales, dn.qs, dn.scales, act=act,
+                   tfb=gu.tfb or MLP_TFB)
     return y.reshape(*lead, dn.n).astype(x.dtype)
 
 
@@ -181,3 +218,42 @@ def fused_mlp(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
         0,
         act=act,
     )
+
+
+# Row count above which the fused kernel's per-128-row weight re-streaming
+# loses to dequantize-once + dense matmuls. The kernel re-reads ~Q quantized
+# bytes per batch tile; the dense path costs ~Q read + 4Q dequant write +
+# 4Q dense read — break-even around 8-9 tiles (~1k rows).
+MLP_FUSED_MAX_ROWS = 1024
+
+
+def mlp_prefill(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
+    """MLP over per-layer fused-MLP container slices for LARGE row counts
+    (prefill): dequantize each weight ONCE per call (XLA) instead of
+    re-streaming every weight block per 128-row kernel tile — an 8k-token
+    prompt would otherwise re-read the MLP weights 64x per layer.
+
+    The gate/up weight is dequantized in its PHYSICAL (ffn-permuted) column
+    order and only the [rows, F] activation is un-permuted before the down
+    projection — a weight-order gather on [K, 2F] would cost K/rows times
+    more bytes. Exactly inverse permutations (see qtensor.mlp_col_perm)."""
+    from .qtensor import dequant_qtensor, mlp_col_perm
+
+    f = gu.n // 2
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, gu.k).astype(jnp.bfloat16)
+    # physical dequant: the q4mlpg merged-scales layout matches q4v3m
+    wgu = dequant_qtensor(gu.replace(kind="q4v3m"))  # [K, 2F] permuted cols
+    gup = jax.lax.dot(xb, wgu, preferred_element_type=jnp.float32)
+    g, u = gup[:, :f], gup[:, f:]
+    a = (jax.nn.gelu(g, approximate=True) if act == "gelu"
+         else jax.nn.silu(g)) * u
+    # permuted column i holds natural ffn index perm[i] -> natural order is
+    # a[:, argsort(perm)] (static permutation, computed at trace time)
+    import numpy as np
+
+    inv = np.argsort(mlp_col_perm(f, gu.tfb or MLP_TFB))
+    a = a.astype(jnp.bfloat16)[:, inv]
+    wd = dequant_qtensor(dn)  # q4mlpd dequant un-permutes rows internally
+    y = jax.lax.dot(a, wd, preferred_element_type=jnp.float32)
+    return y.reshape(*lead, dn.n).astype(x.dtype)

@@ -73,7 +73,7 @@ def _v3_scale_dtype():
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qs", "scales", "mins"],
-    meta_fields=["kind", "k", "n", "group", "sections", "tp_mode"],
+    meta_fields=["kind", "k", "n", "group", "sections", "tp_mode", "tfb"],
 )
 @dataclasses.dataclass
 class QTensor:
@@ -103,6 +103,11 @@ class QTensor:
     group: int = QBLOCK
     sections: int = 1
     tp_mode: str | None = None
+    # fused-MLP containers only ("q4mlpg"/"q4mlpd"): ffn elements per v3
+    # plane per grid step, baked into the column/row permutation at pack
+    # time. Smaller tfb halves the per-grid-step VMEM operand blocks
+    # (8B-class shapes overflow the 16 MB VMEM at 256). 0 = n/a.
+    tfb: int = 0
 
     def replace(self, **kw) -> "QTensor":
         return dataclasses.replace(self, **kw)
@@ -531,11 +536,18 @@ def mlp_col_perm(f: int, tfb: int = MLP_TFB) -> np.ndarray:
     return (p * (f // 4) + j * tfb + t).reshape(-1)
 
 
-def mlp_eligible(gu: "QTensor", dn: "QTensor") -> bool:
-    """Both containers convertible to the fused-MLP layout: stacked 4-bit
-    affine pairs with plane-aligned K and MLP_TFB-aligned ffn dim."""
+def mlp_tfb_for(gu: "QTensor", dn: "QTensor") -> int | None:
+    """Pick the fused-MLP grid-step width (ffn elements per v3 plane per
+    step): the largest tfb whose per-grid-step operand blocks fit the
+    kernel's VMEM budget at the smallest batch tile. None when no tfb fits
+    or the pair fails the layout constraints — the pair then stays on the
+    two-kernel path instead of failing at Mosaic compile. (1B-class shapes
+    keep 256; 8B's [K=4096, F=14336, H=4096] needs 128 — 256 would put
+    ~15.7 MB of double-buffered operands over the 16 MB VMEM.)"""
+    from .fused_mlp import _pick_bt, mlp_weight_block_bytes
+
     f = gu.n // 2
-    return (
+    layout_ok = (
         gu.kind == "q4" and dn.kind == "q4"
         and gu.sections == 1 and dn.sections == 1
         and gu.tp_mode is None and dn.tp_mode is None
@@ -545,10 +557,24 @@ def mlp_eligible(gu: "QTensor", dn: "QTensor") -> bool:
         and dn.qs is not None and np.asarray(dn.qs).ndim == 3
         and gu.n == 2 * f and dn.k == f
         and gu.k % 1024 == 0  # scale rows per x-plane stay a multiple of 8
-        and f % (4 * MLP_TFB) == 0
         and np.asarray(gu.qs).shape[-1] == gu.n  # no N padding
         and np.asarray(dn.qs).shape[-1] == dn.n
     )
+    if not layout_ok:
+        return None
+    sbytes = jnp.dtype(_v3_scale_dtype()).itemsize
+    for tfb in (256, 128, 64):
+        if f % (4 * tfb):
+            continue
+        wbytes = mlp_weight_block_bytes(gu.k, dn.n, sbytes, tfb)
+        if _pick_bt(8, gu.k, dn.n, wbytes) is not None:
+            return tfb
+    return None
+
+
+def mlp_eligible(gu: "QTensor", dn: "QTensor") -> bool:
+    """Whether the pair converts to the fused-MLP layout (see mlp_tfb_for)."""
+    return mlp_tfb_for(gu, dn) is not None
 
 
 def _v3_natural(qt: "QTensor"):
@@ -570,12 +596,14 @@ def _v3_natural(qt: "QTensor"):
 def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
     """Convert a stacked (w_gate_up, w_down) q4 pair to the fused-MLP
     containers ("q4mlpg", "q4mlpd") consumed by ops.fused_mlp. Returns the
-    pair unchanged when ineligible."""
-    if not mlp_eligible(gu, dn):
+    pair unchanged when ineligible. The grid-step width `tfb` is chosen per
+    shape (mlp_tfb_for) and baked into the permutations + the container."""
+    tfb = mlp_tfb_for(gu, dn)
+    if tfb is None:
         return gu, dn
     sdt = _v3_scale_dtype()
     f = gu.n // 2
-    perm = mlp_col_perm(f)
+    perm = mlp_col_perm(f, tfb)
     perm2 = np.concatenate([perm, f + perm])  # gate block | up block
     q, sc, mn = _v3_natural(gu)
     q, sc, mn = q[:, :, perm2], sc[:, :, perm2], mn[:, :, perm2]
@@ -583,14 +611,14 @@ def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
     gu_out = QTensor(
         qs=jnp.asarray(words),
         scales=jnp.asarray(np.concatenate([sc, mn], axis=1), sdt),
-        mins=None, kind="q4mlpg", k=gu.k, n=gu.n, group=QBLOCK,
+        mins=None, kind="q4mlpg", k=gu.k, n=gu.n, group=QBLOCK, tfb=tfb,
     )
     q, sc, mn = _v3_natural(dn)
-    rperm = mlp_col_perm(f, MLP_TFB)[:: QBLOCK] // QBLOCK  # scale-row order
+    rperm = mlp_col_perm(f, tfb)[:: QBLOCK] // QBLOCK  # scale-row order
     words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
     # merged rows grouped PER GRID STEP: [sc rows of step j | min rows of
-    # step j] so one BlockSpec fetches both (rows_per_step = 4*TFB/32 each)
-    rps = 4 * MLP_TFB // QBLOCK
+    # step j] so one BlockSpec fetches both (rows_per_step = 4*tfb/32 each)
+    rps = 4 * tfb // QBLOCK
     l, fb, h = sc.shape
     nj = fb // rps
     sp = sc[:, rperm].reshape(l, nj, rps, h)
@@ -599,7 +627,7 @@ def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
     dn_out = QTensor(
         qs=jnp.asarray(words),
         scales=jnp.asarray(merged, sdt),
-        mins=None, kind="q4mlpd", k=dn.k, n=dn.n, group=QBLOCK,
+        mins=None, kind="q4mlpd", k=dn.k, n=dn.n, group=QBLOCK, tfb=tfb,
     )
     return gu_out, dn_out
 
@@ -746,7 +774,7 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         # merged scales + ffn-permuted columns (see to_v3_mlp_stacked):
         # dequantize in physical order, then un-permute the columns
         f = qt.n // 2
-        perm = mlp_col_perm(f)
+        perm = mlp_col_perm(f, qt.tfb or MLP_TFB)
         perm2 = np.concatenate([perm, f + perm])
         inv = np.argsort(perm2)
         w = dequant_qtensor(split_v3m(qt.replace(kind="q4v3m")), dtype)
@@ -754,10 +782,11 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     if qt.kind == "q4mlpd":
         # natural v3 words; scale/min rows are permuted AND interleaved per
         # grid step ([sc rows of step j | min rows of step j])
-        rperm = mlp_col_perm(qt.k)[:: QBLOCK] // QBLOCK
+        tfb = qt.tfb or MLP_TFB
+        rperm = mlp_col_perm(qt.k, tfb)[:: QBLOCK] // QBLOCK
         inv = np.argsort(rperm)
         kb = qt.k // qt.group
-        rps = 4 * MLP_TFB // QBLOCK
+        rps = 4 * tfb // QBLOCK
         h = qt.scales.shape[-1]
         grouped = qt.scales.reshape(-1, 2 * rps, h)
         nj = grouped.shape[0]

@@ -13,31 +13,24 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def sample_logits(
-    logits: jax.Array,  # [B, V] float
-    key: jax.Array,
-    temperature: float | jax.Array = 0.5,
-    top_k: int = 40,
-    top_p: float | jax.Array = 0.95,
-    top_k_rows: jax.Array | None = None,  # [B] int32 per-row top-k (traced)
-    min_p: float | jax.Array = 0.0,  # per-row-able: drop tokens with
-    # prob < min_p * max_prob (llama.cpp/vLLM-style nucleus floor)
-) -> jax.Array:
-    """Sample next token ids [B] with temperature / top-k / top-p / min-p
-    filtering.
+def filtered_for_sampling(
+    logits: jax.Array,  # [B, V] float32
+    temperature: float | jax.Array,
+    top_k: int,
+    top_p: float | jax.Array,
+    top_k_rows: jax.Array | None = None,
+    min_p: float | jax.Array = 0.0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The sample_logits pipeline up to (but not including) the categorical
+    draw: temperature → top-k window → per-row top-k → top-p → min-p.
 
-    `top_k` must be static (it bounds the sort width); temperature, top_p and
-    min_p may be traced, either scalars or per-row [B] arrays (continuous
-    batching mixes requests with different sampling settings). `top_k_rows`
-    applies a per-row top-k *within* the static `top_k` window by masking
-    ranks >= top_k_rows[i] — exact for per-row values <= the window width.
-    temperature <= 0 is greedy argmax (per row).
-    """
-    logits = logits.astype(jnp.float32)
-    static_temp = isinstance(temperature, (int, float))
-    if static_temp and temperature <= 0.0:
-        # static greedy: skip the whole sampling graph
-        return jnp.argmax(logits, axis=-1)
+    Returns (filtered [B, K] tempered logits with dropped entries at
+    NEG_INF, top_idx [B, K] their vocab ids, greedy [B] bool rows).
+    ``categorical(filtered)`` indexed through ``top_idx`` reproduces
+    sample_logits exactly for non-greedy rows. Exposed separately so
+    speculative decoding can compute the EXACT per-token acceptance
+    probability p(draft) and the post-rejection residual distribution of
+    the same pipeline (models.llama spec_decode_rounds)."""
 
     def per_row(v):  # scalar or [B] -> [B, 1]
         v = jnp.asarray(v, jnp.float32)
@@ -75,8 +68,38 @@ def sample_logits(
     keep = (cumulative - probs) < top_p
     # min-p floor relative to the max prob (rank 0 is always kept)
     keep &= probs >= per_row(min_p) * probs[:, :1]
-    filtered = jnp.where(keep, top_vals, NEG_INF)
+    return jnp.where(keep, top_vals, NEG_INF), top_idx, greedy
 
+
+def sample_logits(
+    logits: jax.Array,  # [B, V] float
+    key: jax.Array,
+    temperature: float | jax.Array = 0.5,
+    top_k: int = 40,
+    top_p: float | jax.Array = 0.95,
+    top_k_rows: jax.Array | None = None,  # [B] int32 per-row top-k (traced)
+    min_p: float | jax.Array = 0.0,  # per-row-able: drop tokens with
+    # prob < min_p * max_prob (llama.cpp/vLLM-style nucleus floor)
+) -> jax.Array:
+    """Sample next token ids [B] with temperature / top-k / top-p / min-p
+    filtering.
+
+    `top_k` must be static (it bounds the sort width); temperature, top_p and
+    min_p may be traced, either scalars or per-row [B] arrays (continuous
+    batching mixes requests with different sampling settings). `top_k_rows`
+    applies a per-row top-k *within* the static `top_k` window by masking
+    ranks >= top_k_rows[i] — exact for per-row values <= the window width.
+    temperature <= 0 is greedy argmax (per row).
+    """
+    logits = logits.astype(jnp.float32)
+    static_temp = isinstance(temperature, (int, float))
+    if static_temp and temperature <= 0.0:
+        # static greedy: skip the whole sampling graph
+        return jnp.argmax(logits, axis=-1)
+
+    filtered, top_idx, greedy = filtered_for_sampling(
+        logits, temperature, top_k, top_p, top_k_rows, min_p
+    )
     choice = jax.random.categorical(key, filtered, axis=-1)  # [B]
     sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
     if static_temp:
@@ -89,6 +112,75 @@ def sample_logits(
 
 def greedy_sample(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits.astype(jnp.float32), axis=-1)
+
+
+def spec_verify_sample(
+    logits3: jax.Array,  # [B, T, V] target logits at [tok, draft...] (T=g+1)
+    draft: jax.Array,  # [B, gamma] point-mass drafted token ids
+    key: jax.Array,
+    temperature: jax.Array,  # [B]
+    top_k: int,
+    top_p: jax.Array,  # [B]
+    top_k_rows: jax.Array | None = None,  # [B]
+    min_p: jax.Array | float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Rejection-sampling acceptance for a POINT-MASS drafter (prompt-lookup
+    n-grams / greedy draft-model rollouts): draft token d_j is accepted with
+    probability p_j(d_j) — its probability under the full sampling pipeline
+    (temperature/top-k/top-p/min-p) — and on rejection the continuation is
+    resampled from the residual distribution, which for a point-mass q is
+    exactly p with d_j removed and renormalized. Token-by-token, the output
+    law equals plain autoregressive sampling (the speculative-sampling
+    theorem with q = δ_d); greedy rows (temperature <= 0) reduce to the
+    argmax-prefix-match rule bit-exactly.
+
+    Returns (n_acc [B] in 0..gamma, new_tok [B]): n_acc accepted drafts,
+    and the continuation token — a residual resample at the reject
+    position, or a fresh pipeline sample after full acceptance."""
+    b, t, v = logits3.shape
+    gamma = t - 1
+    lf = logits3.astype(jnp.float32).reshape(b * t, v)
+
+    def bt(a):  # [B] -> [B*T] (repeat per verify column)
+        a = jnp.broadcast_to(jnp.asarray(a, jnp.float32), (b,))
+        return jnp.broadcast_to(a[:, None], (b, t)).reshape(-1)
+
+    tkr = None
+    if top_k_rows is not None:
+        tkr = jnp.broadcast_to(
+            jnp.asarray(top_k_rows, jnp.int32)[:, None], (b, t)
+        ).reshape(-1)
+    filtered, top_idx, _ = filtered_for_sampling(
+        lf, bt(temperature), top_k, bt(top_p), tkr, bt(min_p)
+    )
+    k = filtered.shape[-1]
+    probs3 = jax.nn.softmax(filtered, axis=-1).reshape(b, t, k)
+    idx3 = top_idx.reshape(b, t, k)
+    f3 = filtered.reshape(b, t, k)
+    greedy = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), (b,)
+    )[:, None] <= 0.0  # [B, 1]
+    argmax3 = jnp.argmax(lf, axis=-1).reshape(b, t).astype(jnp.int32)
+
+    # p(d_j) under the filtered distribution (0 when filtered out)
+    match = idx3[:, :gamma] == draft[:, :, None]
+    p_d = jnp.sum(jnp.where(match, probs3[:, :gamma], 0.0), axis=-1)
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (b, gamma))
+    acc = jnp.where(greedy, draft == argmax3[:, :gamma], u < p_d)
+    n_acc = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+
+    # continuation per column: columns < gamma exclude their draft token
+    # (residual); column gamma is a plain pipeline sample
+    excl = jnp.concatenate(
+        [draft, jnp.full((b, 1), -1, draft.dtype)], axis=1
+    )  # [B, T]; -1 never matches
+    f3 = jnp.where(idx3 == excl[:, :, None], NEG_INF, f3)
+    choice = jax.random.categorical(kr, f3, axis=-1)  # [B, T]
+    cont = jnp.take_along_axis(idx3, choice[..., None], axis=-1)[..., 0]
+    cont = jnp.where(greedy, argmax3, cont).astype(jnp.int32)
+    new_tok = jnp.take_along_axis(cont, n_acc[:, None], axis=1)[:, 0]
+    return n_acc, new_tok
 
 
 def apply_logit_bias(

@@ -273,7 +273,10 @@ class InferenceEngine:
             )
         if (
             self.config.speculative in ("ngram", "draft")
-            and sampling.greedy
+            # ngram speculates for sampled requests too (rejection-sampling
+            # acceptance, output law identical to plain sampling); the
+            # draft-model path is greedy-only for now
+            and (sampling.greedy or self.config.speculative == "ngram")
             and bias_ids is None
             and counts is None
             and want_lp is None
@@ -286,7 +289,7 @@ class InferenceEngine:
             else:
                 yield from self._generate_ngram(
                     token, pos, cache, list(int(t) for t in prompt_ids),
-                    sampling, metrics,
+                    sampling, metrics, key,
                 )
             return
 
@@ -403,15 +406,17 @@ class InferenceEngine:
         }
 
     def _generate_ngram(
-        self, token, pos, cache, history, sampling, metrics
+        self, token, pos, cache, history, sampling, metrics, key=None
     ) -> Iterator[int]:
-        """Prompt-lookup speculative decoding (greedy), fully fused:
+        """Prompt-lookup speculative decoding, fully fused:
         models.llama.spec_decode_rounds runs `spec_rounds` rounds of
-        (on-device n-gram draft → ONE verify forward → longest-prefix
-        accept) per dispatch, so the per-dispatch latency (~26 ms on a
-        tunneled chip) is paid once per `spec_rounds` verifies instead of
-        per verify. Output matches plain greedy EXACTLY. On sustained
-        rejection it interleaves plain fused greedy chunks (more tokens
+        (on-device n-gram draft → ONE verify forward → accept) per
+        dispatch, so the per-dispatch latency (~26 ms on a tunneled chip)
+        is paid once per `spec_rounds` verifies instead of per verify.
+        Greedy requests match plain greedy EXACTLY (argmax-prefix accept);
+        sampled requests use rejection-sampling acceptance whose output
+        law equals plain sampling (ops.sampling.spec_verify_sample). On
+        sustained rejection it interleaves plain fused chunks (more tokens
         per dispatch when drafts never hit), and the cache tail takes the
         plain path. No draft model needed."""
         from ..models.llama import spec_decode_rounds
@@ -419,6 +424,16 @@ class InferenceEngine:
         gamma = max(1, self.config.spec_tokens)
         n = max(1, self.config.spec_ngram)
         rounds = max(1, self.config.spec_rounds)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        spec_kw = {}
+        if not sampling.greedy:
+            spec_kw = dict(
+                temps=jnp.asarray([sampling.temperature], jnp.float32),
+                top_k=max(1, sampling.top_k),
+                top_ps=jnp.asarray([sampling.top_p], jnp.float32),
+                min_ps=jnp.asarray([sampling.min_p], jnp.float32),
+            )
         t_dec = time.perf_counter()
         emitted = 0
         tok_id = int(token[0])
@@ -455,11 +470,14 @@ class InferenceEngine:
                 m = min(self.config.decode_chunk, room,
                         sampling.max_new_tokens - emitted)
                 m = 1 << (max(m, 1).bit_length() - 1)
+                key, sub = jax.random.split(key)
                 toks, token, cache, _ = decode_loop(
                     self.params, self.model_cfg,
                     jnp.asarray([tok_id], jnp.int32),
                     jnp.asarray([pos], jnp.int32),
-                    cache, jax.random.PRNGKey(0), m, 0.0,
+                    cache, sub, m, sampling.temperature,
+                    max(1, sampling.top_k), sampling.top_p,
+                    min_p=sampling.min_p,
                 )
                 outs = [int(t) for t in np.asarray(toks[0])]
                 nxt_id = int(token[0])
@@ -487,6 +505,9 @@ class InferenceEngine:
                 hlen_host += len(entries)
                 hlen = jnp.asarray([hlen_host], jnp.int32)
                 continue
+            if spec_kw:
+                key, sub = jax.random.split(key)
+                spec_kw["key"] = sub
             outs_d, ocnt, pend, _pos_d, cache, hist, hlen, act, dr, ac = (
                 spec_decode_rounds(
                     self.params, self.model_cfg,
@@ -494,6 +515,7 @@ class InferenceEngine:
                     jnp.asarray([pos], jnp.int32),
                     cache, hist, hlen, eos_arr,
                     jnp.ones((1,), jnp.bool_), rounds, gamma, n,
+                    **spec_kw,
                 )
             )
             cnt = int(ocnt[0])

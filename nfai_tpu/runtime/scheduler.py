@@ -99,6 +99,11 @@ class _Slot:
     # the slot is decoding
     prefill_ids: np.ndarray | None = None
     prefill_next: int = 0  # next absolute position to prefill
+    # grammar-constrained requests: the host automaton producing per-step
+    # vocab masks (None for unconstrained slots). Constrained slots decode
+    # inside the SAME fused batch step as everyone else (chunk forced to 1
+    # while any constrained slot is active) — no serialization.
+    machine: object | None = None
 
     @property
     def prefilling(self) -> bool:
@@ -287,9 +292,67 @@ class BatchEngine:
         slot.request = req
         slot.prefill_ids = ids
         slot.prefill_next = start
+        slot.machine = (
+            self._build_machine(req) if req.sampling.constrained else None
+        )
         req.state = RequestState.RUNNING
         if self._counts is not None:
             self._counts = self._counts.at[slot_idx].set(0)
+        return True
+
+    # -- grammar-constrained decoding ----------------------------------------
+    @property
+    def _cons(self):
+        """Vocab-wide TokenConstraint shared with the engine (built once)."""
+        return self.engine.json_constraint
+
+    def _build_machine(self, req: Request):
+        """Constraint automaton for a request; replays already-emitted
+        tokens so preempted requests resume with consistent machine state."""
+        from ..constrained import JsonMachine
+        from ..grammar import machine_for
+
+        m = machine_for(req.sampling)
+        if m is None:
+            m = JsonMachine(require_object=True)
+        tb = self._cons.token_bytes
+        for t in req.output_ids:
+            if not m.advance_bytes(tb[t]):  # pragma: no cover - defensive
+                log.error("req %d: constraint replay failed on token %d",
+                          req.id, t)
+                break
+        return m
+
+    def _mask_row(self, slot: _Slot, budget: int) -> np.ndarray:
+        """bool[V] of legal next tokens for a constrained slot. Near the
+        token budget the mask switches to 'closing' tokens so the output
+        terminates as a complete match instead of truncating mid-structure
+        (same policy as engine._generate_constrained)."""
+        m = slot.machine
+        closing = len(m.closing_string()) + 4 >= budget
+        mask = (
+            self._cons.closing_allowed(m) if closing else self._cons.allowed(m)
+        )
+        out = np.zeros(self.engine.model_cfg.vocab_size, bool)
+        out[: mask.shape[0]] = mask
+        return out
+
+    def _advance_machine(self, slot_idx: int, tokens: list[int]) -> bool:
+        """Feed emitted tokens through the slot's automaton (EOS stops it).
+        Returns False when the machine rejected a token (mask bug — the
+        request is failed rather than streaming malformed output)."""
+        slot = self.slots[slot_idx]
+        tb = self._cons.token_bytes
+        for t in tokens:
+            if self.engine.tokenizer.is_eos(t) or slot.machine.complete:
+                break
+            if not slot.machine.advance_bytes(tb[t]):
+                log.error(
+                    "req %d: constrained sampler emitted illegal token %d",
+                    slot.request.id, t,
+                )
+                self._finish(slot_idx, RequestState.FAILED)
+                return False
         return True
 
     def _prefill_tick(self, slot_idx: int) -> None:
@@ -341,6 +404,11 @@ class BatchEngine:
             logits = apply_logit_bias(
                 logits, jnp.asarray(ids_b[None]), jnp.asarray(vals_b[None])
             )
+        if slot.machine is not None:
+            mrow = self._mask_row(
+                slot, s.max_new_tokens - len(req.output_ids)
+            )
+            logits = jnp.where(jnp.asarray(mrow)[None, :], logits, -jnp.inf)
         tok = int(
             sample_logits(
                 logits, sub, s.temperature, self.top_k, s.top_p,
@@ -373,7 +441,17 @@ class BatchEngine:
                                 self._lp_bucket(s.logprobs)),
                 0, s.logprobs, tok,
             )]
+        if slot.machine is not None and not self._advance_machine(
+            slot_idx, [tok]
+        ):
+            return
         self._emit(slot_idx, [tok], lps)
+        if (
+            self.slots[slot_idx].request is not None
+            and slot.machine is not None
+            and slot.machine.complete
+        ):
+            self._finish(slot_idx)
 
     @staticmethod
     def _lp_bucket(k: int) -> int:
@@ -524,10 +602,13 @@ class BatchEngine:
 
     # -- batched speculative decoding ---------------------------------------
     def _spec_eligible(self, active_idx: list[int]) -> bool:
-        """Batched prompt-lookup speculation runs when the engine enables it
-        and EVERY decoding slot is plain-greedy (no bias/penalties — the
-        fused verify accepts by argmax, so any sampled slot would diverge).
-        Lockstep batching makes this all-or-nothing per chunk."""
+        """Batched prompt-lookup speculation runs when the engine enables
+        it. Sampled (temperature>0) slots speculate via rejection-sampling
+        acceptance (ops.sampling.spec_verify_sample — output law identical
+        to plain sampling), greedy slots via exact argmax matching, and the
+        two MIX freely in one batch. Excluded per-slot features that the
+        fused verify does not model: logit bias, penalties (both mutate
+        logits statefully), logprobs reporting, and grammar constraints."""
         cfg = self.engine.config
         if cfg.speculative != "ngram" or not active_idx:
             return False
@@ -539,8 +620,9 @@ class BatchEngine:
             return False  # cache tail: plain chunks handle the remainder
         for i in active_idx:
             sp = self.slots[i].request.sampling
-            if (not sp.greedy or sp.logit_bias or sp.has_penalties
-                    or sp.logprobs is not None):
+            if (sp.logit_bias or sp.has_penalties
+                    or sp.logprobs is not None
+                    or self.slots[i].machine is not None):
                 return False
         return True
 
@@ -571,6 +653,11 @@ class BatchEngine:
         active = np.zeros(B, bool)
         hist = np.zeros((B, s), np.int32)
         hlen = np.ones(B, np.int32)  # >=1 keeps the drafter's clips benign
+        temps = np.zeros(B, np.float32)
+        top_ps = np.ones(B, np.float32)
+        top_ks = np.full(B, self.top_k, np.int32)
+        min_ps = np.zeros(B, np.float32)
+        any_sampled = False
         for i in active_idx:
             slot = self.slots[i]
             req = slot.request
@@ -583,9 +670,26 @@ class BatchEngine:
             tokens[i] = slot.next_token
             positions[i] = slot.pos
             active[i] = True
+            sp = req.sampling
+            temps[i] = sp.temperature
+            top_ps[i] = sp.top_p
+            top_ks[i] = self._effective_top_k(sp.top_k)
+            min_ps[i] = sp.min_p
+            any_sampled |= not sp.greedy
         eos_arr = jnp.asarray(
             sorted(self.engine.tokenizer.eos_ids) or [-2], jnp.int32
         )
+        spec_kw = {}
+        if any_sampled:
+            # mixed batch: rejection-sampling acceptance per lane (greedy
+            # lanes reduce to exact argmax inside spec_verify_sample)
+            self._key, sub = jax.random.split(self._key)
+            spec_kw = dict(
+                key=sub, temps=jnp.asarray(temps), top_k=self.top_k,
+                top_ps=jnp.asarray(top_ps),
+                top_k_rows=jnp.asarray(top_ks),
+                min_ps=jnp.asarray(min_ps),
+            )
         outs, ocnt, pend, _pos, self.cache, _h, _hl, act, dr, ac = (
             spec_decode_rounds(
                 self.engine.params,
@@ -601,6 +705,7 @@ class BatchEngine:
                 gamma,
                 ngram,
                 page_tables=tables,
+                **spec_kw,
             )
         )
         outs_h = np.asarray(outs)
@@ -656,6 +761,15 @@ class BatchEngine:
             self.decode_chunk,
             min(max_seq - self.slots[i].pos for i in active_idx),
         )
+        # constrained slots need a fresh host-computed vocab mask before
+        # EVERY sample, so the fused chunk drops to one step while any is
+        # active; plain slots still advance one token per step alongside
+        # them (no serialization, unlike a dedicated constrained loop)
+        constrained_idx = [
+            i for i in active_idx if self.slots[i].machine is not None
+        ]
+        if constrained_idx:
+            n = 1
         if self._spec_eligible(active_idx):
             handled = self._spec_step(active_idx)
             if handled:
@@ -706,6 +820,11 @@ class BatchEngine:
                 self.slots[i].request.sampling.logprobs for i in want_lp
             ))
         extras = dict(min_p=jnp.asarray(min_ps))
+        if constrained_idx:
+            amask = np.ones((B, self.engine.model_cfg.vocab_size), bool)
+            for i in constrained_idx:
+                amask[i] = self._mask_row(self.slots[i], self.slots[i].budget)
+            extras["allowed_mask"] = jnp.asarray(amask)
         if n_lp is not None:
             extras["n_logprobs"] = n_lp
         if any_bias:
@@ -784,8 +903,16 @@ class BatchEngine:
                 ]
             slot.pos += n
             slot.next_token = int(nxt_host[i])
+            if slot.machine is not None and not self._advance_machine(
+                i, fresh
+            ):
+                continue  # mask bug: request failed, slot freed
             self._emit(i, fresh, lps)
-            if self.slots[i].request is not None and slot.pos >= max_seq:
+            if self.slots[i].request is not None and (
+                slot.machine is not None and slot.machine.complete
+            ):
+                self._finish(i)  # structured output complete
+            elif self.slots[i].request is not None and slot.pos >= max_seq:
                 self._finish(i)  # out of cache room
         return sum(1 for s in self.slots if s.request is not None)
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import queue
 import threading
 import time
 import uuid
@@ -43,7 +42,6 @@ class ServerState:
         self.started_at = time.time()
         self.requests_served = 0
         self.lock = threading.Lock()
-        self.constrained_lock = threading.Lock()
 
 
 def _sampling_from_body(body: dict) -> SamplingParams:
@@ -125,56 +123,6 @@ def _sampling_from_body(body: dict) -> SamplingParams:
         json_schema=json_schema,
         logprobs=logprobs,
     )
-
-
-class _DirectRequest:
-    """Request-shaped adapter that runs a single-request engine generation
-    in a worker thread. Used for grammar-constrained requests, which need
-    the host automaton in the sampling loop and therefore bypass the
-    BatchEngine's fused decode chunks (see runtime.engine
-    _generate_constrained). Exposes the same stream()/cancel()/sampling
-    surface the SSE/blocking responders consume."""
-
-    def __init__(self, engine, prompt_ids, sampling, lock):
-        self.sampling = sampling
-        self.prompt_ids = list(prompt_ids)
-        self._q: queue.Queue = queue.Queue()
-        self._cancelled = threading.Event()
-        from .runtime.engine import GenerationMetrics
-
-        self.metrics = GenerationMetrics()
-
-        def run():
-            try:
-                with lock:  # constrained requests serialize among themselves
-                    for tok in engine.generate(
-                        prompt_ids, sampling, metrics=self.metrics
-                    ):
-                        if self._cancelled.is_set():
-                            break
-                        self._q.put(tok)
-            except Exception:  # noqa: BLE001
-                log.exception("constrained generation failed")
-            finally:
-                self._q.put(None)
-
-        threading.Thread(target=run, daemon=True).start()
-
-    @property
-    def logprob_data(self):
-        # entries are appended by the engine BEFORE each token is queued,
-        # so by the time a consumer has read token k, entry k exists
-        return self.metrics.logprobs
-
-    def stream(self, timeout: float = 600.0):
-        while True:
-            tok = self._q.get(timeout=timeout)
-            if tok is None:
-                return
-            yield tok
-
-    def cancel(self):
-        self._cancelled.set()
 
 
 def make_handler(state: ServerState):
@@ -286,10 +234,9 @@ def make_handler(state: ServerState):
                 raise ValueError("streaming with n > 1 is not supported")
 
             def make_req(sp):
-                if sp.constrained:
-                    return _DirectRequest(
-                        eng, prompt_ids, sp, state.constrained_lock
-                    )
+                # constrained (grammar/JSON/regex) requests run INSIDE the
+                # batch engine: per-slot vocab masks in the fused step
+                # (runtime.scheduler), concurrent with plain requests
                 return state.batch.submit(prompt_ids, sp)
 
             import dataclasses as _dc

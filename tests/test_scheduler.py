@@ -246,3 +246,58 @@ def test_prefill_overlaps_decode(engine, paged):
     drive(be, [r1, r2], max_steps=300)
     assert r1.state == RequestState.FINISHED
     assert r2.state == RequestState.FINISHED
+
+
+def test_constrained_slot_in_batch(engine, paged):
+    """A grammar-constrained (JSON mode) request decodes INSIDE the fused
+    batch step, concurrently with plain requests — and the plain requests'
+    outputs are identical to running them alone (no stall, no corruption)."""
+    import json
+
+    rng = np.random.default_rng(7)
+    plain_prompt = [int(x) for x in rng.integers(5, 200, 9)]
+    plain_s = SamplingParams(temperature=0.0, max_new_tokens=10)
+    expected_plain = list(engine.generate(plain_prompt, plain_s))
+
+    be = BatchEngine(engine, max_batch=4, decode_chunk=4, paged=paged)
+    cons_s = SamplingParams(
+        temperature=0.0, max_new_tokens=24, response_format="json"
+    )
+    cons = be.submit([int(x) for x in rng.integers(5, 200, 7)], cons_s)
+    plain = be.submit(plain_prompt, plain_s)
+    drive(be, [cons, plain])
+    assert plain.state == RequestState.FINISHED
+    assert plain.output_ids == expected_plain
+    assert cons.state == RequestState.FINISHED
+    text = engine.tokenizer.decode(cons.output_ids)
+    json.loads(text)  # complete, valid JSON
+
+
+def test_constrained_matches_engine_single(engine, paged):
+    """Batched constrained greedy decode produces the same tokens as the
+    engine's single-request constrained path (same masks, same argmax)."""
+    rng = np.random.default_rng(8)
+    ids = [int(x) for x in rng.integers(5, 200, 6)]
+    s = SamplingParams(
+        temperature=0.0, max_new_tokens=20, response_format="json"
+    )
+    expected = list(engine.generate(ids, s))
+    be = BatchEngine(engine, max_batch=2, decode_chunk=4, paged=paged)
+    req = be.submit(ids, s)
+    drive(be, [req])
+    assert req.state == RequestState.FINISHED
+    assert req.output_ids == expected
+
+
+def test_constrained_regex_in_batch(engine, paged):
+    import re
+
+    be = BatchEngine(engine, max_batch=2, decode_chunk=4, paged=paged)
+    s = SamplingParams(
+        temperature=0.0, max_new_tokens=16, regex=r"(yes|no)( indeed)?",
+    )
+    req = be.submit([3, 5, 7], s)
+    drive(be, [req])
+    assert req.state == RequestState.FINISHED
+    text = engine.tokenizer.decode(req.output_ids)
+    assert re.fullmatch(r"(yes|no)( indeed)?", text), text

@@ -258,3 +258,101 @@ def test_draft_vocab_mismatch(tmp_path):
     with pytest.raises(ValueError, match="vocabulary"):
         list(eng.generate([1, 2], SamplingParams(temperature=0.0,
                                                  max_new_tokens=4)))
+
+
+def test_spec_rounds_sampled_greedy_lanes_exact(tmp_path):
+    """spec_decode_rounds with the sampled (rejection) acceptance path and
+    temperature 0 must equal the pure-greedy path bit-exactly (greedy rows
+    reduce to argmax-prefix matching inside spec_verify_sample)."""
+    eng = _engine(tmp_path, "sg.gguf")
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+    from nfai_tpu.models.llama import prefill_step
+
+    outs = {}
+    for mode in ("greedy", "sampled_t0"):
+        cache = eng.new_cache(1)
+        toks = jnp.asarray([prompt], jnp.int32)
+        pos = jnp.arange(len(prompt), dtype=jnp.int32)[None]
+        logits, cache = prefill_step(
+            eng.params, eng.model_cfg, toks, pos,
+            jnp.asarray([len(prompt) - 1], jnp.int32), cache,
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        s = eng.max_seq_len
+        hist = jnp.zeros((1, s), jnp.int32)
+        hist = hist.at[0, : len(prompt)].set(jnp.asarray(prompt))
+        hist = hist.at[0, len(prompt)].set(tok[0])
+        kw = {}
+        if mode == "sampled_t0":
+            kw = dict(
+                key=jax.random.PRNGKey(5),
+                temps=jnp.zeros(1, jnp.float32), top_k=32,
+                top_ps=jnp.ones(1, jnp.float32),
+            )
+        o, c, pend, _, _, _, _, act, dr, ac = spec_decode_rounds(
+            eng.params, eng.model_cfg, tok,
+            jnp.asarray([len(prompt)], jnp.int32), cache, hist,
+            jnp.asarray([len(prompt) + 1], jnp.int32),
+            jnp.asarray([-2], jnp.int32), jnp.ones(1, bool), 3, 3, 3, **kw,
+        )
+        cnt = int(c[0])
+        outs[mode] = [int(t) for t in np.asarray(o[0, :cnt])] + [int(pend[0])]
+    assert outs["greedy"] == outs["sampled_t0"]
+
+
+def test_engine_sampled_spec_runs_and_accepts(tmp_path):
+    """speculative='ngram' with temperature>0: generation completes, the
+    accept counters move on a repetitive prompt, and a fixed seed is
+    reproducible across runs."""
+    eng = _engine(tmp_path, "ss.gguf", speculative="ngram")
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4, 5, 3, 4]
+    sp = SamplingParams(temperature=0.7, top_k=20, top_p=0.95, seed=11,
+                        max_new_tokens=24)
+    from nfai_tpu.runtime.engine import GenerationMetrics
+
+    m = GenerationMetrics()
+    out1 = list(eng.generate(prompt, sp, metrics=m))
+    assert len(out1) > 0
+    assert m.spec_drafted > 0
+    out2 = list(eng.generate(prompt, sp))
+    assert out1 == out2  # same seed -> same stream
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_batch_engine_mixed_sampled_spec(tmp_path, paged):
+    """Mixed greedy + sampled batch: speculation stays ON (per-lane
+    rejection acceptance), the greedy lane still matches the
+    non-speculative engine exactly, and the sampled lane completes."""
+    from nfai_tpu.runtime.scheduler import BatchEngine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / f"ms{int(paged)}.gguf", hidden=128, n_layers=2,
+        n_heads=4, n_kv_heads=2, ffn_dim=256, vocab_size=512,
+        quant=GGMLType.F16, seed=29,
+    )
+    g_prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+    s_prompt = [9, 9, 2, 9, 9, 2, 9, 9]
+    g_sp = SamplingParams(temperature=0.0, max_new_tokens=16)
+    s_sp = SamplingParams(temperature=0.8, top_k=20, max_new_tokens=16)
+
+    def run(spec):
+        eng = InferenceEngine(
+            path,
+            EngineConfig(max_seq_len=128, dtype="float32",
+                         speculative=spec, paged_kv=paged,
+                         spec_tokens=4, spec_rounds=2),
+        )
+        be = BatchEngine(eng, max_batch=2)
+        be.start()
+        rg = be.submit(g_prompt, g_sp)
+        rs = be.submit(s_prompt, s_sp)
+        out = (list(rg.stream(timeout=300)), list(rs.stream(timeout=300)))
+        drafted = be.spec_drafted
+        be.close()
+        return out, drafted
+
+    (g_spec, s_spec), drafted = run("ngram")
+    (g_plain, _s_plain), _ = run("off")
+    assert drafted > 0  # the mixed batch DID speculate
+    assert g_spec == g_plain  # greedy lane exact
+    assert len(s_spec) == 16  # sampled lane completed its budget

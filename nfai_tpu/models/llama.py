@@ -801,21 +801,24 @@ def _write_cache(
 FUSED_DECODE_IMPL = "auto"
 
 
-def _fused_decode_eligible(params, cfg, t, page_tables, cache) -> bool:
+def _fused_decode_eligible(params, cfg, t, page_tables, cache) -> str | None:
+    """Returns "single" (one-chip fused path), "tp" (whole-scan shard_map
+    fused path), or None (generic scan)."""
     from ..ops import qmatmul as _qm
 
     if t != 1 or page_tables is not None or cfg.n_experts:
-        return False
+        return None
     s = cache.max_seq
-    if _qm.TP_MESH is not None:
-        return False
-    if FUSED_DECODE_IMPL == "fused":
-        return True
-    return (
+    kernels_ok = FUSED_DECODE_IMPL == "fused" or (
         FUSED_DECODE_IMPL == "auto"
         and jax.default_backend() != "cpu"
         and s % 128 == 0
     )
+    if not kernels_ok:
+        return None
+    if _qm.TP_MESH is None:
+        return "single"
+    return "tp" if _fused_tp_eligible(params, cfg, cache) else None
 
 
 def _decode_forward_fused(
@@ -825,6 +828,8 @@ def _decode_forward_fused(
     positions: jax.Array,  # [B, 1]
     cache: KVCache,
     activation_dtype,
+    h0: jax.Array | None = None,  # [B, 1, H]: skip the embed (TP wrapper)
+    psum_axis: str | None = None,  # shard_map axis for row-parallel partials
 ) -> tuple[jax.Array, KVCache]:
     """Single-token decode with per-layer fused kernels over stacked arrays.
 
@@ -852,11 +857,13 @@ def _decode_forward_fused(
 
     b = tokens.shape[0]
     interp = jax.default_backend() == "cpu"
-    if params["embed"] is None:
+    if h0 is not None:
+        h = h0  # TP wrapper computed the (vocab-sharded) embed globally
+    elif params["embed"] is None:
         h = dequant_gather(params["lm_head"], tokens, activation_dtype)
     else:
         h = jnp.take(params["embed"], tokens, axis=0).astype(activation_dtype)
-    if cfg.embed_scale != 1.0:
+    if h0 is None and cfg.embed_scale != 1.0:
         h = (h.astype(jnp.float32) * cfg.embed_scale).astype(activation_dtype)
     cos, sin = rope_cos_sin(positions, params["inv_freq"])
     if "inv_freq_local" in params:  # gemma3 dual rope bases
@@ -940,6 +947,11 @@ def _decode_forward_fused(
         )
         attn = attn.reshape(b, 1, qd)
         attn_out = linear_layered(attn, layers["wo"], lidx)
+        if psum_axis is not None:
+            # row-parallel wo: per-shard partial sums reduce over tp
+            attn_out = jax.lax.psum(
+                attn_out.astype(jnp.float32), psum_axis
+            ).astype(attn_out.dtype)
         if cfg.post_norms:
             attn_out = rms_norm(attn_out, sm["post_attn_norm"], cfg.rms_eps)
         h = (h + attn_out).astype(activation_dtype)
@@ -972,6 +984,11 @@ def _decode_forward_fused(
                 linear_layered(x, layers["w_up"], lidx)
             )
             ffn_out = linear_layered(gated, layers["w_down"], lidx)
+        if psum_axis is not None:
+            # row-parallel w_down: per-shard partial sums reduce over tp
+            ffn_out = jax.lax.psum(
+                ffn_out.astype(jnp.float32), psum_axis
+            ).astype(ffn_out.dtype)
         if cfg.post_norms:
             ffn_out = rms_norm(ffn_out, sm["post_ffw_norm"], cfg.rms_eps)
         h = (h + ffn_out).astype(activation_dtype)
@@ -1001,6 +1018,181 @@ def _decode_forward_fused(
             write_all_layers(cache.v, v_rows, starts, interpret=interp),
         )
     h = rms_norm(h, params["final_norm"], cfg.rms_eps)
+    return h, new_cache
+
+
+# layer-weight Megatron roles for the TP fused decode path (column-parallel
+# weights shard their output axis; row-parallel their input axis and psum)
+_TP_COL_KEYS = frozenset(
+    {"wq", "wk", "wv", "w_gate", "w_up", "wqkv", "w_gate_up"}
+)
+_TP_ROW_KEYS = frozenset({"wo", "w_down"})
+
+
+def _fused_tp_eligible(params, cfg, cache) -> bool:
+    """The whole-layer-scan shard_map decode path needs every matmul weight
+    to be per-shard CONSUMABLE: a contiguous shard must decode standalone.
+    Column-parallel leaves always qualify when N divides (both the v2
+    nibble and v3 word packings are column-independent); row-parallel 4-bit
+    leaves need per-shard split-half sections (QTensor.sections == tp).
+    Leaves that additionally pass the kernel layout checks (tp_mode marked
+    at load) run the layered Pallas kernels per shard; the rest take the
+    local XLA dequant fallback inside the same shard_map — still no GSPMD
+    resharding or per-layer weight-slice copies."""
+    from ..ops import qmatmul as _qm
+    from ..parallel.mesh import TP_AXIS
+
+    mesh = _qm.TP_MESH
+    tp = mesh.shape[TP_AXIS]
+    if cfg.n_heads % tp or cfg.n_kv_heads % tp or cfg.ffn_dim % tp:
+        return False
+    for key, leaf in params["layers"].items():
+        role = "col" if key in _TP_COL_KEYS else (
+            "row" if key in _TP_ROW_KEYS else None
+        )
+        if role is None:
+            continue
+        if not isinstance(leaf, QTensor):
+            continue  # dense [L, K, N]: head/ffn divisibility checked above
+        n_phys = leaf.qs.shape[-1]
+        if n_phys != leaf.n:  # N-padded container: shards would straddle pad
+            return False
+        if role == "col":
+            if leaf.n % tp:
+                return False
+        else:
+            if leaf.kind in ("q4",):
+                if leaf.sections != tp:
+                    return False
+            elif leaf.k % tp or (leaf.k // tp) % leaf.group:
+                return False
+    return True
+
+
+def _decode_forward_fused_tp(
+    params: dict,
+    cfg: LlamaConfig,
+    tokens: jax.Array,  # [B, 1]
+    positions: jax.Array,  # [B, 1]
+    cache: KVCache,
+    activation_dtype,
+) -> tuple[jax.Array, KVCache]:
+    """Tensor-parallel fused decode: the ENTIRE layer scan runs per-shard
+    under ONE shard_map — each chip executes the same layer-indexed Pallas
+    kernels (v3 bit-decode matmuls, fused MLP-ready seams, slab attention,
+    batched cache write) as the single-chip fused path on its local head /
+    ffn / KV shard, with exactly two psums per layer (after the
+    row-parallel wo and w_down). This replaces the per-matmul shard_map +
+    GSPMD scan path, whose per-layer XLA weight slices and 7 launches/layer
+    were measured ~0.9 ms/step on 1B (round-2 profile) — the reason TP
+    decode previously forfeited the fused kernels entirely.
+
+    The embedding gather stays OUTSIDE (global): a tied quantized table is
+    vocab-sharded, and GSPMD handles the cross-shard gather. The LM head
+    also stays outside (logits_for on the replicated hidden state)."""
+    import dataclasses as _dc
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import qmatmul as _qm
+    from ..parallel.mesh import DP_AXIS, TP_AXIS
+
+    mesh = _qm.TP_MESH
+    tp = mesh.shape[TP_AXIS]
+    dp = mesh.shape[DP_AXIS]
+    b = tokens.shape[0]
+    bax = DP_AXIS if (dp > 1 and b % dp == 0) else None
+
+    # global embed (handles the tied quantized vocab-sharded table)
+    if params["embed"] is None:
+        h0 = dequant_gather(params["lm_head"], tokens, activation_dtype)
+    else:
+        h0 = jnp.take(params["embed"], tokens, axis=0).astype(activation_dtype)
+    if cfg.embed_scale != 1.0:
+        h0 = (h0.astype(jnp.float32) * cfg.embed_scale).astype(activation_dtype)
+
+    lcfg = _dc.replace(
+        cfg,
+        n_heads=cfg.n_heads // tp,
+        n_kv_heads=cfg.n_kv_heads // tp,
+        ffn_dim=cfg.ffn_dim // tp,
+    )
+
+    def leaf_spec(key, leaf):
+        if key in _TP_COL_KEYS:
+            sp = P(None, None, TP_AXIS)
+        elif key in _TP_ROW_KEYS:
+            sp = P(None, TP_AXIS, None)
+        elif key.endswith("_bias"):
+            return P(None, TP_AXIS)  # rides the fused col projections
+        else:
+            return P(None, None)  # norms (replicated)
+        if isinstance(leaf, QTensor):
+            return leaf.replace(
+                qs=sp, scales=sp,
+                mins=sp if leaf.mins is not None else None,
+            )
+        return sp
+
+    layers = params["layers"]
+    layer_specs = {k: leaf_spec(k, v) for k, v in layers.items()}
+
+    def localize(key, leaf):
+        """Fix the (meta-only) logical dims of the per-shard QTensor view."""
+        if not isinstance(leaf, QTensor):
+            return leaf
+        if key in _TP_COL_KEYS:
+            return leaf.replace(n=leaf.n // tp, tp_mode=None)
+        if key in _TP_ROW_KEYS:
+            return leaf.replace(k=leaf.k // tp, sections=1, tp_mode=None)
+        return leaf
+
+    cache_spec = type(cache)(
+        P(None, bax, None, TP_AXIS),
+        P(None, bax, None, TP_AXIS),
+        P(None, bax, TP_AXIS, None) if cache.ks is not None else None,
+        P(None, bax, TP_AXIS, None) if cache.vs is not None else None,
+    )
+    sub_params_spec = {
+        "layers": layer_specs,
+        "final_norm": P(None),
+        "inv_freq": P(None),
+    }
+    sub_params = {
+        "layers": layers,
+        "final_norm": params["final_norm"],
+        "inv_freq": params["inv_freq"],
+    }
+    if "inv_freq_local" in params:
+        sub_params["inv_freq_local"] = params["inv_freq_local"]
+        sub_params_spec["inv_freq_local"] = P(None)
+
+    def local_fn(sp_local, tokens_l, positions_l, h0_l, cache_l):
+        lp = dict(sp_local)
+        lp["layers"] = {
+            k: localize(k, v) for k, v in sp_local["layers"].items()
+        }
+        lp["embed"] = None  # unused: h0 provided
+        lp["lm_head"] = None
+        return _decode_forward_fused(
+            lp, lcfg, tokens_l, positions_l, cache_l, activation_dtype,
+            h0=h0_l, psum_axis=TP_AXIS,
+        )
+
+    h, new_cache = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            sub_params_spec,
+            P(bax, None),
+            P(bax, None),
+            P(bax, None, None),
+            cache_spec,
+        ),
+        out_specs=(P(bax, None, None), cache_spec),
+        check_vma=False,
+    )(sub_params, tokens, positions, h0, cache)
     return h, new_cache
 
 
@@ -1037,8 +1229,13 @@ def forward(
         activation_dtype = (
             params["embed"].dtype if params["embed"] is not None else jnp.bfloat16
         )
-    if _fused_decode_eligible(params, cfg, t, page_tables, cache):
+    fused_mode = _fused_decode_eligible(params, cfg, t, page_tables, cache)
+    if fused_mode == "single":
         return _decode_forward_fused(
+            params, cfg, tokens, positions, cache, activation_dtype
+        )
+    if fused_mode == "tp":
+        return _decode_forward_fused_tp(
             params, cfg, tokens, positions, cache, activation_dtype
         )
     if params["embed"] is None:

@@ -473,7 +473,13 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
     if (
         qt.kind != "q4"
         or qt.sections != 1
-        or qt.tp_mode is not None
+        # column-parallel TP weights MAY convert: the v3 packing is
+        # column-independent, so any contiguous column shard of a v3
+        # container is itself a valid v3 container (the per-shard kernels
+        # under shard_map see a standard local container). Row-parallel
+        # (K-sectioned) weights stay v2 — their split-half sections are
+        # already per-shard-decodable.
+        or qt.tp_mode == "row"
         or qt.group != QBLOCK
         or qt.k % 2048
         or qt.mins is None
@@ -494,6 +500,7 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
             k=qt.k,
             n=qt.n,
             group=QBLOCK,
+            tp_mode=qt.tp_mode,
         )
     return QTensor(
         qs=jnp.asarray(words),
@@ -503,6 +510,7 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
         k=qt.k,
         n=qt.n,
         group=QBLOCK,
+        tp_mode=qt.tp_mode,
     )
 
 

@@ -248,3 +248,119 @@ def test_quantized_tp_kernel_path(tmp_path):
         qmatmul._q4_matmul = orig_q4
         qmatmul.TP_MESH = None
         plain.gguf.close()
+
+
+def test_tp_fused_decode_path(tmp_path):
+    """The whole-layer-scan shard_map fused decode (VERDICT r2 #6): under a
+    mesh with kernel-eligible quantized weights, decode routes through
+    _decode_forward_fused_tp (layered kernels per shard, two psums/layer)
+    and matches the single-device engine exactly."""
+    from nfai_tpu.gguf import GGMLType
+    from nfai_tpu.models import llama as llama_mod
+    from nfai_tpu.ops import qmatmul
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "tpf.gguf",
+        vocab_size=256,
+        hidden=512,
+        n_layers=2,
+        n_heads=8,
+        n_kv_heads=4,
+        ffn_dim=2048,  # w_down local K must stay kernel-eligible at tp=4
+        context_length=256,
+        quant=GGMLType.Q4_K,
+        seed=31,
+    )
+    base_cfg = dict(max_seq_len=128, dtype="bfloat16", prefill_chunk=32)
+    plain = InferenceEngine(path, EngineConfig(**base_cfg))
+    ids = [int(x) for x in np.random.default_rng(3).integers(5, 200, 11)]
+    s = SamplingParams(temperature=0.0, max_new_tokens=8)
+    expected = list(plain.generate(ids, s))
+    plain.gguf.close()
+
+    calls = {"tp_fused": 0}
+    orig = llama_mod._decode_forward_fused_tp
+
+    def counting(*a, **kw):
+        calls["tp_fused"] += 1
+        return orig(*a, **kw)
+
+    old_impl = llama_mod.FUSED_DECODE_IMPL
+    llama_mod.FUSED_DECODE_IMPL = "fused"  # CPU backend: force the kernels
+    llama_mod._decode_forward_fused_tp = counting
+    try:
+        for mesh_shape in ({"dp": 2, "tp": 4}, {"dp": 4, "tp": 2}):
+            sharded = InferenceEngine(
+                path, EngineConfig(**base_cfg, mesh_shape=mesh_shape)
+            )
+            assert llama_mod._fused_tp_eligible(
+                sharded.params, sharded.model_cfg, sharded.new_cache(1)
+            )
+            calls["tp_fused"] = 0
+            with jax.sharding.set_mesh(sharded.mesh):
+                got = list(sharded.generate(ids, s))
+            assert calls["tp_fused"] > 0, mesh_shape
+            assert got == expected, mesh_shape
+            sharded.gguf.close()
+    finally:
+        llama_mod.FUSED_DECODE_IMPL = old_impl
+        llama_mod._decode_forward_fused_tp = orig
+
+
+def test_tp_fused_decode_batch_and_int8(tmp_path):
+    """TP fused decode with a batched engine (dp-sharded batch) and the
+    int8 KV cache: outputs match the unsharded batch engine."""
+    from nfai_tpu.gguf import GGMLType
+    from nfai_tpu.models import llama as llama_mod
+    from nfai_tpu.runtime.scheduler import BatchEngine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "tpb.gguf",
+        vocab_size=256,
+        hidden=512,
+        n_layers=2,
+        n_heads=8,
+        n_kv_heads=4,
+        ffn_dim=1024,
+        context_length=256,
+        quant=GGMLType.Q4_K,
+        seed=37,
+    )
+    base_cfg = dict(max_seq_len=128, dtype="bfloat16", prefill_chunk=32,
+                    kv_dtype="int8", paged_kv=False)
+    rng = np.random.default_rng(5)
+    prompts = [[int(x) for x in rng.integers(5, 200, n)] for n in (7, 12)]
+    s = SamplingParams(temperature=0.0, max_new_tokens=6)
+
+    def run(mesh_shape):
+        eng = InferenceEngine(
+            path, EngineConfig(**base_cfg, mesh_shape=mesh_shape)
+        )
+        ctx = (
+            jax.sharding.set_mesh(eng.mesh) if eng.mesh is not None
+            else _nullcontext()
+        )
+        with ctx:
+            be = BatchEngine(eng, max_batch=2, decode_chunk=4, paged=False)
+            reqs = [be.submit(p, s) for p in prompts]
+            for _ in range(100):
+                if be.step() == 0:
+                    break
+        out = [r.output_ids for r in reqs]
+        eng.gguf.close()
+        return out
+
+    old_impl = llama_mod.FUSED_DECODE_IMPL
+    llama_mod.FUSED_DECODE_IMPL = "fused"
+    try:
+        assert run({"dp": 2, "tp": 4}) == run(None)
+    finally:
+        llama_mod.FUSED_DECODE_IMPL = old_impl
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

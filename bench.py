@@ -22,9 +22,18 @@ import time
 SIZES = {
     # name: (hidden, layers, heads, kv_heads, ffn, vocab)
     "tiny": (256, 4, 8, 4, 512, 512),
+    "small": (1024, 4, 8, 4, 2048, 8192),  # CPU-mesh scaling rehearsals
     "1b": (2048, 16, 32, 8, 8192, 128256),
     "3b": (3072, 28, 24, 8, 8192, 128256),
     "8b": (4096, 32, 32, 8, 14336, 128256),
+    # per-chip SHARD shapes of the tensor-parallel configs: each TP chip
+    # executes exactly this local workload inside the whole-scan shard_map
+    # decode (heads/kv/ffn/vocab divided by tp; hidden unchanged, head_dim
+    # pinned with a 7th element), so the single-chip rate on these shapes
+    # bounds TP per-chip throughput from above (collectives come on top).
+    # BASELINE config 5 evidence on one real chip.
+    "1b-tp4shard": (2048, 16, 8, 2, 2048, 32064, 64),
+    "8b-tp4shard": (4096, 32, 8, 2, 3584, 32064, 128),
 }
 
 
@@ -92,10 +101,11 @@ def main() -> int:
     from nfai_tpu.models.llama import LlamaConfig, decode_loop, prefill_step
     from nfai_tpu.ops.rope import compute_inv_freq
 
-    hidden, layers, heads, kv_heads, ffn, vocab = SIZES[args.size]
+    spec = SIZES[args.size]
+    hidden, layers, heads, kv_heads, ffn, vocab = spec[:6]
     if args.vocab:
         vocab = args.vocab
-    head_dim = hidden // heads
+    head_dim = spec[6] if len(spec) > 6 else hidden // heads
     cfg = LlamaConfig(
         vocab_size=vocab, hidden_size=hidden, n_layers=layers, n_heads=heads,
         n_kv_heads=kv_heads, head_dim=head_dim, ffn_dim=ffn,

@@ -458,6 +458,7 @@ def load_params(
                 # a layer that failed the per-shard layout check forces the
                 # whole stack onto the GSPMD fallback (scan needs one mode)
                 tp_mode=modes.pop() if len(modes) == 1 else None,
+                tpi=items[0].tpi,
             )
         return np.stack(items)
 
@@ -521,12 +522,19 @@ def load_params(
             layers["q_norm"] = [w[within] for w in layers["q_norm"]]
             layers["k_norm"] = [w[within] for w in layers["k_norm"]]
     if fuse:
-        _fuse_projections(layers, cfg)
-    from ..ops.qtensor import to_v3_mlp_stacked, to_v3_stacked
+        if tp > 1:
+            # per-shard interleaved fusion (only QTensor groups fully
+            # marked "col" fuse; the rest stay split for the unfused path)
+            _fuse_projections_tp(layers, cfg, tp)
+        else:
+            _fuse_projections(layers, cfg)
+    from ..ops.qtensor import (
+        to_v3_mlp_stacked, to_v3_mlp_stacked_tp, to_v3_stacked,
+    )
 
     # eligible 4-bit layer weights repack to the cast-free v3 bit-decode
     # container (ops.qtensor; ~2.05x -> ~1.6x of the HBM-byte ideal in the
-    # decode kernels). No-op for q8/sectioned/TP/MoE/odd-K leaves.
+    # decode kernels). No-op for q8/sectioned/row-TP/MoE/odd-K leaves.
     raw = {k: stack(v) for k, v in layers.items()}
     if (
         os.environ.get("NFAI_FUSED_MLP", "1") != "0"
@@ -534,10 +542,17 @@ def load_params(
         and isinstance(raw.get("w_down"), QTensor)
     ):
         # gate_up/down pairs convert to the one-kernel fused-MLP containers
-        # (ops.fused_mlp; no-op when ineligible — TP marks, odd dims, q8)
-        raw["w_gate_up"], raw["w_down"] = to_v3_mlp_stacked(
-            raw["w_gate_up"], raw["w_down"]
-        )
+        # (ops.fused_mlp; no-op when ineligible — odd dims, q8). Under TP
+        # the conversion runs per shard (interleaved gate_up + sectioned
+        # down), keeping each shard a standalone fused-MLP container.
+        if tp > 1:
+            raw["w_gate_up"], raw["w_down"] = to_v3_mlp_stacked_tp(
+                raw["w_gate_up"], raw["w_down"], tp
+            )
+        else:
+            raw["w_gate_up"], raw["w_down"] = to_v3_mlp_stacked(
+                raw["w_gate_up"], raw["w_down"]
+            )
     stacked = {
         k: put(k, to_v3_stacked(s) if isinstance(s, QTensor) else s)
         for k, s in raw.items()
@@ -1052,6 +1067,20 @@ def _fused_tp_eligible(params, cfg, cache) -> bool:
         )
         if role is None:
             continue
+        if key in ("wqkv", "w_gate_up", "w_down"):
+            # fused keys: a contiguous shard must be a LOCAL fused
+            # projection, which only the TP-interleaved load layout
+            # guarantees (phi3 pre-fused / single-chip-fused layouts have
+            # logical column order — their shards straddle q/k/v)
+            tpi = getattr(leaf, "tpi", 0)
+            if key == "w_down" and isinstance(leaf, QTensor) and (
+                leaf.kind == "q4mlpd" and tpi != tp
+            ):
+                return False
+            if key in ("wqkv", "w_gate_up") and (
+                not isinstance(leaf, QTensor) or tpi != tp
+            ):
+                return False
         if not isinstance(leaf, QTensor):
             continue  # dense [L, K, N]: head/ffn divisibility checked above
         n_phys = leaf.qs.shape[-1]
@@ -1143,9 +1172,11 @@ def _decode_forward_fused_tp(
         if not isinstance(leaf, QTensor):
             return leaf
         if key in _TP_COL_KEYS:
-            return leaf.replace(n=leaf.n // tp, tp_mode=None)
+            return leaf.replace(n=leaf.n // tp, tp_mode=None, tpi=0)
         if key in _TP_ROW_KEYS:
-            return leaf.replace(k=leaf.k // tp, sections=1, tp_mode=None)
+            return leaf.replace(
+                k=leaf.k // tp, sections=1, tp_mode=None, tpi=0
+            )
         return leaf
 
     cache_spec = type(cache)(
@@ -1281,6 +1312,13 @@ def forward(
             qkv = linear(x, lp["wqkv"])
             if cfg.attn_bias:
                 qkv = qkv + lp["wqkv_bias"].astype(qkv.dtype)
+            if isinstance(lp["wqkv"], QTensor) and lp["wqkv"].tpi:
+                # TP-interleaved fused columns -> logical [q|k|v] order
+                from ..ops.qtensor import tp_fused_inv_perm
+
+                qkv = qkv[..., tp_fused_inv_perm(
+                    [qd, kvd, kvd], lp["wqkv"].tpi
+                )]
             q = qkv[..., :qd]
             k = qkv[..., qd : qd + kvd]
             v = qkv[..., qd + kvd :]
@@ -1391,21 +1429,32 @@ def forward(
             and lp["w_gate_up"].kind == "q4mlpg"
         ):
             from ..ops.fused_mlp import (
-                MLP_FUSED_MAX_ROWS, fused_mlp, mlp_prefill,
+                MLP_FUSED_MAX_ROWS, fused_mlp, mlp_prefill, mlp_tp,
             )
 
-            # the fused kernel re-streams the MLP weights once per 128-row
-            # batch tile — a decode-shaped win that loses on long prefill
-            # chunks; large row counts dequantize once instead
-            rows = x.size // x.shape[-1]
-            if rows > MLP_FUSED_MAX_ROWS:
-                ffn_out = mlp_prefill(x, lp["w_gate_up"], lp["w_down"],
-                                      act=cfg.activation)
+            if lp["w_gate_up"].tpi:
+                # TP-interleaved containers: per-shard fused MLP + psum
+                ffn_out = mlp_tp(x, lp["w_gate_up"], lp["w_down"],
+                                 act=cfg.activation)
             else:
-                ffn_out = fused_mlp(x, lp["w_gate_up"], lp["w_down"],
-                                    act=cfg.activation)
+                # the fused kernel re-streams the MLP weights once per
+                # 128-row batch tile — a decode-shaped win that loses on
+                # long prefill chunks; large row counts dequantize once
+                rows = x.size // x.shape[-1]
+                if rows > MLP_FUSED_MAX_ROWS:
+                    ffn_out = mlp_prefill(x, lp["w_gate_up"], lp["w_down"],
+                                          act=cfg.activation)
+                else:
+                    ffn_out = fused_mlp(x, lp["w_gate_up"], lp["w_down"],
+                                        act=cfg.activation)
         elif "w_gate_up" in lp:  # fused projection: one kernel launch
             gu = linear(x, lp["w_gate_up"])
+            if isinstance(lp["w_gate_up"], QTensor) and lp["w_gate_up"].tpi:
+                from ..ops.qtensor import tp_fused_inv_perm
+
+                gu = gu[..., tp_fused_inv_perm(
+                    [cfg.ffn_dim, cfg.ffn_dim], lp["w_gate_up"].tpi
+                )]
             ffn_out = linear(
                 act(gu[..., : cfg.ffn_dim]) * gu[..., cfg.ffn_dim :],
                 lp["w_down"],
@@ -2112,6 +2161,65 @@ def _fuse_projections(layers: dict, cfg: LlamaConfig) -> None:
         "wqkv_bias",
     )
     fuse_group(["w_gate", "w_up"], "w_gate_up")
+
+
+def _fuse_projections_tp(layers: dict, cfg: LlamaConfig, tp: int) -> None:
+    """TP-aware fusion: like _fuse_projections, but the fused columns are
+    INTERLEAVED per shard ([q_c|k_c|v_c] / [gate_c|up_c] for shard c, see
+    ops.qtensor.tp_fused_col_perm) so each contiguous column shard is
+    itself a fused local projection — the whole-scan shard_map decode path
+    (_decode_forward_fused_tp) then launches ONE fused kernel per shard.
+    Consumers outside shard_map un-permute the OUTPUT columns. Only fuses
+    groups where every layer's parts are column-markable QTensors of one
+    kind; everything else stays split (the unfused TP path still works)."""
+    from ..ops.qtensor import (
+        concat_qtensors, permute_qtensor_cols, tp_fused_col_perm,
+    )
+
+    def fuse_group(names, widths, out_name, bias_names=None, bias_out=None):
+        if not all(n in layers for n in names):
+            return
+        if any(w % tp for w in widths):
+            return
+        cols = [layers[n] for n in names]
+        perm = tp_fused_col_perm(widths, tp)
+        fused = []
+        for parts in zip(*cols):
+            first = parts[0]
+            if not all(
+                isinstance(p, QTensor)
+                and p.kind == first.kind
+                and p.kind in ("q4", "q8")
+                and p.group == first.group
+                and p.k == first.k
+                and p.sections == 1
+                and p.tp_mode == "col"
+                for p in parts
+            ):
+                return  # unmarked / mixed parts: keep split
+            f = permute_qtensor_cols(concat_qtensors(list(parts)), perm)
+            fused.append(f.replace(tp_mode="col", tpi=tp))
+        layers[out_name] = fused
+        for n in names:
+            del layers[n]
+        if bias_names and all(b in layers for b in bias_names):
+            layers[bias_out] = [
+                np.concatenate(parts, axis=-1)[perm]
+                for parts in zip(*[layers[b] for b in bias_names])
+            ]
+            for b in bias_names:
+                del layers[b]
+
+    qd = cfg.n_heads * cfg.head_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+    fuse_group(
+        ["wq", "wk", "wv"], [qd, kvd, kvd], "wqkv",
+        ["wq_bias", "wk_bias", "wv_bias"] if cfg.attn_bias else None,
+        "wqkv_bias",
+    )
+    fuse_group(
+        ["w_gate", "w_up"], [cfg.ffn_dim, cfg.ffn_dim], "w_gate_up"
+    )
 
 
 # "grouped": sort (token, expert) pairs by expert and run ragged matmuls —

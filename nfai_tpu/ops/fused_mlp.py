@@ -227,6 +227,53 @@ def fused_mlp(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
 MLP_FUSED_MAX_ROWS = 1024
 
 
+def mlp_tp(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
+    """Tensor-parallel MLP over per-layer slices of the TP-interleaved
+    fused-MLP containers (QTensor.tpi == tp): each shard's column/row slice
+    is a standalone local q4mlpg/q4mlpd pair (ops.qtensor
+    to_v3_mlp_stacked_tp), so shard_map runs the standard local fused
+    kernel — or the dequant-once prefill path for large row counts — and
+    psums the down-projection partials. Used by the generic (prefill)
+    forward; the whole-scan TP decode path consumes the locals directly
+    inside its own shard_map."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DP_AXIS, TP_AXIS
+    from . import qmatmul as _qm
+
+    mesh = _qm.TP_MESH
+    tp = gu.tpi
+    lead = x.shape[:-1]
+    xb = x.reshape(-1, gu.k)
+    rows = xb.shape[0]
+    dp = mesh.shape[DP_AXIS]
+    bax = DP_AXIS if (dp > 1 and rows % dp == 0) else None
+    rows_local = rows // dp if bax else rows
+
+    def local_fn(xl, gq, gs, dq, ds):
+        gul = gu.replace(qs=gq, scales=gs, n=gu.n // tp, tpi=0, tp_mode=None)
+        dnl = dn.replace(qs=dq, scales=ds, k=dn.k // tp, tpi=0, tp_mode=None)
+        if rows_local > MLP_FUSED_MAX_ROWS:
+            y = mlp_prefill(xl, gul, dnl, act=act)
+        else:
+            y = fused_mlp(xl, gul, dnl, act=act)
+        return jax.lax.psum(y.astype(jnp.float32), TP_AXIS).astype(y.dtype)
+
+    y = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(bax, None),
+            P(None, TP_AXIS), P(None, TP_AXIS),
+            P(TP_AXIS, None), P(TP_AXIS, None),
+        ),
+        out_specs=P(bax, None),
+        check_vma=False,
+    )(xb, gu.qs, gu.scales, dn.qs, dn.scales)
+    return y.reshape(*lead, dn.n).astype(x.dtype)
+
+
 def mlp_prefill(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
     """MLP over per-layer fused-MLP container slices for LARGE row counts
     (prefill): dequantize each weight ONCE per call (XLA) instead of

@@ -73,7 +73,8 @@ def _v3_scale_dtype():
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qs", "scales", "mins"],
-    meta_fields=["kind", "k", "n", "group", "sections", "tp_mode", "tfb"],
+    meta_fields=["kind", "k", "n", "group", "sections", "tp_mode", "tfb",
+                 "tpi"],
 )
 @dataclasses.dataclass
 class QTensor:
@@ -108,6 +109,12 @@ class QTensor:
     # time. Smaller tfb halves the per-grid-step VMEM operand blocks
     # (8B-class shapes overflow the 16 MB VMEM at 256). 0 = n/a.
     tfb: int = 0
+    # TP-interleaved fused projections: columns are ordered PER SHARD
+    # ([q_c|k_c|v_c] / [gate_c|up_c] for shard c), so a contiguous column
+    # shard is itself a fused local projection for the whole-scan shard_map
+    # decode path. Consumers outside shard_map un-permute the OUTPUT
+    # columns (tp_fused_inv_perm). 0 = logical column order.
+    tpi: int = 0
 
     def replace(self, **kw) -> "QTensor":
         return dataclasses.replace(self, **kw)
@@ -343,6 +350,54 @@ def pack_gguf_tensor(
     )
 
 
+def tp_fused_col_perm(widths: list[int], tp: int) -> np.ndarray:
+    """Column order for a TP-interleaved fused projection: shard c's block
+    holds [part0_c | part1_c | ...] (each part's c-th 1/tp column slice).
+    Returns `perm` with interleaved[:, i] = logical[:, perm[i]]."""
+    offs = np.concatenate([[0], np.cumsum(widths)])
+    blocks = []
+    for c in range(tp):
+        for w, o in zip(widths, offs):
+            per = w // tp
+            blocks.append(np.arange(o + c * per, o + (c + 1) * per))
+    return np.concatenate(blocks)
+
+
+def tp_fused_inv_perm(widths: list[int], tp: int) -> np.ndarray:
+    """Inverse permutation restoring logical column order on the OUTPUT of
+    an interleaved fused projection: logical = out[:, inv]."""
+    return np.argsort(tp_fused_col_perm(widths, tp))
+
+
+def permute_qtensor_cols(qt: QTensor, perm: np.ndarray) -> QTensor:
+    """Reorder a (possibly stacked) v2/q8 container's output columns —
+    exact, because both packings are column-independent."""
+    if qt.kind not in ("q4", "q8"):
+        raise ValueError(f"column permute needs a v2/q8 container, got {qt.kind}")
+    take = lambda a: None if a is None else np.asarray(a)[..., perm]
+    return qt.replace(qs=take(qt.qs), scales=take(qt.scales),
+                      mins=take(qt.mins))
+
+
+def qtensor_k_section(qt: QTensor, c: int) -> QTensor:
+    """Section `c` of a per-section-packed (sections=S) 4-bit container as
+    a standalone sections=1 container with k = K/S — each section's
+    split-half bytes and scale rows are self-contained by construction
+    (pack_gguf_tensor), so this is a pure row slice."""
+    s = qt.sections
+    ks2 = qt.k // (2 * s)  # packed byte rows per section
+    gsec = qt.k // (qt.group * s)  # scale rows per section
+    take = lambda a, r: None if a is None else np.asarray(a)[..., c * r:(c + 1) * r, :]
+    return qt.replace(
+        qs=take(qt.qs, ks2),
+        scales=take(qt.scales, gsec),
+        mins=take(qt.mins, gsec),
+        k=qt.k // s,
+        sections=1,
+        tp_mode=None,
+    )
+
+
 def pad_qtensor_n(qt: QTensor, multiple: int = 512) -> QTensor:
     """Zero-pad the output (N) axis so the matmul kernels can use wide lane
     tiles. The 128k-vocab LM head (N=128256) only divides 128/256, leaving
@@ -501,6 +556,7 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
             n=qt.n,
             group=QBLOCK,
             tp_mode=qt.tp_mode,
+            tpi=qt.tpi,
         )
     return QTensor(
         qs=jnp.asarray(words),
@@ -511,6 +567,7 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
         n=qt.n,
         group=QBLOCK,
         tp_mode=qt.tp_mode,
+        tpi=qt.tpi,
     )
 
 
@@ -636,6 +693,52 @@ def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
         qs=jnp.asarray(words),
         scales=jnp.asarray(merged, sdt),
         mins=None, kind="q4mlpd", k=dn.k, n=dn.n, group=QBLOCK, tfb=tfb,
+    )
+    return gu_out, dn_out
+
+
+def to_v3_mlp_stacked_tp(gu: "QTensor", dn: "QTensor", tp: int):
+    """Per-shard fused-MLP conversion for tensor parallelism: `gu` is the
+    TP-interleaved fused gate_up ([gate_c|up_c] per shard, QTensor.tpi ==
+    tp) and `dn` the per-section-packed w_down (sections == tp). Each
+    shard's LOCAL pair converts to the one-kernel fused-MLP containers
+    independently, then the locals concatenate back into one global array
+    whose contiguous shard slices are standard q4mlpg/q4mlpd containers —
+    the whole-scan shard_map decode path runs the fused MLP kernel per
+    shard with a psum after. Returns the pair unchanged when any local
+    pair fails the layout/VMEM checks."""
+    if (
+        gu.kind != "q4" or dn.kind != "q4"
+        or gu.tpi != tp or dn.sections != tp
+        or gu.n % (2 * tp) or dn.k % tp
+    ):
+        return gu, dn
+    col_w = gu.n // tp  # interleaved [gate_c|up_c] block width
+    locals_g, locals_d = [], []
+    for c in range(tp):
+        sl = lambda a: None if a is None else np.asarray(a)[..., c * col_w:(c + 1) * col_w]
+        gu_c = gu.replace(
+            qs=sl(gu.qs), scales=sl(gu.scales), mins=sl(gu.mins),
+            n=col_w, tpi=0, tp_mode=None,
+        )
+        dn_c = qtensor_k_section(dn, c)
+        g2, d2 = to_v3_mlp_stacked(gu_c, dn_c)
+        if g2.kind != "q4mlpg":
+            return gu, dn
+        locals_g.append(g2)
+        locals_d.append(d2)
+    tfb = locals_g[0].tfb
+    gu_out = QTensor(
+        qs=jnp.concatenate([g.qs for g in locals_g], axis=2),
+        scales=jnp.concatenate([g.scales for g in locals_g], axis=2),
+        mins=None, kind="q4mlpg", k=gu.k, n=gu.n, group=QBLOCK,
+        tfb=tfb, tpi=tp, tp_mode="col",
+    )
+    dn_out = QTensor(
+        qs=jnp.concatenate([d.qs for d in locals_d], axis=1),
+        scales=jnp.concatenate([d.scales for d in locals_d], axis=1),
+        mins=None, kind="q4mlpd", k=dn.k, n=dn.n, group=QBLOCK,
+        tfb=tfb, tpi=tp, tp_mode="row",
     )
     return gu_out, dn_out
 
@@ -777,6 +880,39 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         raise ValueError(
             f"dequant_qtensor({qt.kind}) needs a per-layer 2D slice, got "
             f"qs.ndim={qt.qs.ndim}; index the layer axis first"
+        )
+    if qt.kind == "q4mlpg" and qt.tpi:
+        # TP-interleaved: each shard block [gate_c|up_c] dequantizes as a
+        # standalone local container; reassemble the logical [gate|up]
+        tp = qt.tpi
+        colw = qt.qs.shape[-1] // tp
+        parts = [
+            dequant_qtensor(
+                qt.replace(qs=qt.qs[:, c * colw:(c + 1) * colw],
+                           scales=qt.scales[:, c * colw:(c + 1) * colw],
+                           n=colw, tpi=0, tp_mode=None),
+                dtype,
+            )
+            for c in range(tp)
+        ]
+        gate = jnp.concatenate([p[:, : colw // 2] for p in parts], axis=1)
+        up = jnp.concatenate([p[:, colw // 2:] for p in parts], axis=1)
+        return jnp.concatenate([gate, up], axis=1)
+    if qt.kind == "q4mlpd" and qt.tpi:
+        tp = qt.tpi
+        qrows = qt.qs.shape[0] // tp
+        srows = qt.scales.shape[0] // tp
+        return jnp.concatenate(
+            [
+                dequant_qtensor(
+                    qt.replace(qs=qt.qs[c * qrows:(c + 1) * qrows],
+                               scales=qt.scales[c * srows:(c + 1) * srows],
+                               k=qt.k // tp, tpi=0, tp_mode=None),
+                    dtype,
+                )
+                for c in range(tp)
+            ],
+            axis=0,
         )
     if qt.kind == "q4mlpg":
         # merged scales + ffn-permuted columns (see to_v3_mlp_stacked):

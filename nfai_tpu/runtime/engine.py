@@ -118,8 +118,13 @@ class InferenceEngine:
             tp = self.mesh.shape[TP_AXIS]
             validate_tp(self.model_cfg, tp)
             quantized = "auto" if self.config.param_dtype == "auto" else False
+            # fuse=True under TP builds per-shard INTERLEAVED fused
+            # projections (models.llama._fuse_projections_tp): each column
+            # shard is a local [q_c|k_c|v_c] / fused-MLP container for the
+            # whole-scan shard_map decode path; groups that fail the
+            # per-shard checks stay split (the unfused path still works)
             params_np = self.family.load_params(
-                g, self.model_cfg, dtype=dtype, device_put=False, fuse=False,
+                g, self.model_cfg, dtype=dtype, device_put=False, fuse=True,
                 quantized=quantized, tp=tp,
             )
             self.params = jax.device_put(

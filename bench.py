@@ -71,6 +71,12 @@ def main() -> int:
                    help="synthetic q4 without the affine mins arrays "
                         "(Q4_0-style symmetric; isolates the mins-term cost)")
     p.add_argument("--vocab", type=int, default=0, help="override vocab size")
+    p.add_argument("--experts", type=int, default=0,
+                   help="MoE: replace the dense MLP with this many experts "
+                        "(quantized grouped kernels; qwen3moe semantics)")
+    p.add_argument("--experts-used", type=int, default=8)
+    p.add_argument("--moe-ffn", type=int, default=768,
+                   help="per-expert ffn dim (qwen3-30B-A3B: 768)")
     p.add_argument("--hbm-gbps", type=float, default=819.0,
                    help="chip HBM bandwidth for the roofline (v5e: 819)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -106,10 +112,14 @@ def main() -> int:
     if args.vocab:
         vocab = args.vocab
     head_dim = spec[6] if len(spec) > 6 else hidden // heads
+    moe = args.experts > 0
     cfg = LlamaConfig(
         vocab_size=vocab, hidden_size=hidden, n_layers=layers, n_heads=heads,
         n_kv_heads=kv_heads, head_dim=head_dim, ffn_dim=ffn,
         rope_base=500000.0, context_length=max(args.seq, 2048),
+        n_experts=args.experts if moe else 0,
+        n_experts_used=args.experts_used if moe else 0,
+        moe_ffn_dim=args.moe_ffn if moe else 0,
     )
     dtype = jnp.dtype(args.dtype)
     dev = jax.devices()[0]
@@ -153,17 +163,38 @@ def main() -> int:
         return QTensor(qs, scales, mins, "q4", k, n)
 
     qd, kvd = heads * head_dim, kv_heads * head_dim
+    layer_weights = {
+        "attn_norm": jnp.ones((layers, hidden), jnp.float32),
+        # fused projections (one kernel launch each, as load_params builds)
+        "wqkv": weight(layers, hidden, qd + 2 * kvd),
+        "wo": weight(layers, qd, hidden),
+        "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
+    }
+    if moe:
+        # quantized expert stacks (grouped kernels); down promotes to q8
+        # when its K fails the 4-bit tile constraint, mirroring load_params
+        e, fm = args.experts, args.moe_ffn
+        layer_weights["router"] = (
+            jax.random.normal(next(kiter), (layers, hidden, e), jnp.float32)
+            * 0.02
+        )
+        layer_weights["w_gate_exps"] = weight(layers, e, hidden, fm)
+        layer_weights["w_up_exps"] = weight(layers, e, hidden, fm)
+        dn = weight(layers, e, fm, hidden)
+        from nfai_tpu.ops.qmatmul import grouped_supported
+        from nfai_tpu.ops.qtensor import promote_qtensor
+
+        if isinstance(dn, QTensor):
+            flat_meta = dn.replace(qs=None, scales=None, mins=None)
+            if not grouped_supported(flat_meta):
+                dn = promote_qtensor(dn, "q8", dn.group, dn.mins is not None)
+        layer_weights["w_down_exps"] = dn
+    else:
+        layer_weights["w_gate_up"] = weight(layers, hidden, 2 * ffn)
+        layer_weights["w_down"] = weight(layers, ffn, hidden)
     params = {
         "embed": rand(vocab, hidden),
-        "layers": {
-            "attn_norm": jnp.ones((layers, hidden), jnp.float32),
-            # fused projections (one kernel launch each, as load_params builds)
-            "wqkv": weight(layers, hidden, qd + 2 * kvd),
-            "wo": weight(layers, qd, hidden),
-            "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
-            "w_gate_up": weight(layers, hidden, 2 * ffn),
-            "w_down": weight(layers, ffn, hidden),
-        },
+        "layers": layer_weights,
         "final_norm": jnp.ones(hidden, jnp.float32),
         "lm_head": weight(hidden, vocab, pad_n_to=512),
         "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
@@ -176,7 +207,7 @@ def main() -> int:
         )
 
         params["lm_head"] = to_v3(params["lm_head"])
-        if os.environ.get("NFAI_FUSED_MLP", "1") != "0":
+        if not moe and os.environ.get("NFAI_FUSED_MLP", "1") != "0":
             params["layers"]["w_gate_up"], params["layers"]["w_down"] = (
                 to_v3_mlp_stacked(
                     params["layers"]["w_gate_up"], params["layers"]["w_down"]
@@ -211,7 +242,25 @@ def main() -> int:
 
     weight_bytes = tree_bytes(params)
     weight_bytes_fixed = tree_bytes(params, fixed_scale_bytes=4)
-    log(f"params: ~{weight_bytes/1e9:.2f} GB in HBM (quant={args.quant}, "
+    total_hbm = weight_bytes
+    if moe:
+        # decode reads only the experts HIT this step: expected distinct
+        # experts per layer = E*(1-(1-1/E)^(B*used)) for uniform routing
+        exp_tree = {
+            k: params["layers"][k]
+            for k in ("w_gate_exps", "w_up_exps", "w_down_exps")
+        }
+        exp_actual = tree_bytes(exp_tree)
+        exp_fixed = tree_bytes(exp_tree, fixed_scale_bytes=4)
+        hit = 1.0 - (1.0 - 1.0 / args.experts) ** (args.batch * args.experts_used)
+        weight_bytes = weight_bytes - exp_actual + exp_actual * hit
+        weight_bytes_fixed = (
+            weight_bytes_fixed - exp_fixed + exp_fixed * hit
+        )
+        log(f"MoE: {args.experts} experts x {args.moe_ffn} ffn, top-"
+            f"{args.experts_used}; expected hit fraction/layer {hit:.2f}")
+    log(f"params: ~{total_hbm/1e9:.2f} GB in HBM (quant={args.quant}, "
+        f"roofline bytes/step {weight_bytes/1e9:.2f} GB, "
         f"fixed f32-scale basis {weight_bytes_fixed/1e9:.2f} GB)")
 
     kvq = args.kv == "int8"
@@ -299,6 +348,8 @@ def main() -> int:
     )
 
     tag = args.dtype if args.quant == "none" else args.quant
+    if moe:
+        tag += f"_moe{args.experts}x{args.moe_ffn}t{args.experts_used}"
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_chip_llama32_{args.size}_{tag}_b{args.batch}",
         "value": round(tok_s, 1),

@@ -37,6 +37,14 @@ def main() -> int:
                    help="inter-arrival gap: requests arrive over time while "
                         "earlier ones decode (exercises chunked-prefill "
                         "overlap instead of submit-all-at-once)")
+    p.add_argument("--poisson", type=float, default=0.0,
+                   help="bursty arrivals: Poisson request rate (req/s, "
+                        "seeded exponential inter-arrival gaps); overrides "
+                        "--stagger-ms")
+    p.add_argument("--prefill-ticks", type=int, default=1,
+                   help="prefill chunks per scheduler step "
+                        "(BatchEngine.prefill_ticks_per_step): higher "
+                        "drains arrival bursts faster at some decode cost")
     p.add_argument("--dense", action="store_true",
                    help="dense per-slot KV instead of the paged pool")
     args = p.parse_args()
@@ -93,7 +101,7 @@ def main() -> int:
     print(f"engine load: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     be = BatchEngine(
         engine, max_batch=args.max_batch, decode_chunk=args.decode_chunk,
-        paged=not args.dense,
+        paged=not args.dense, prefill_ticks_per_step=args.prefill_ticks,
     )
 
     rng = np.random.default_rng(0)
@@ -109,8 +117,27 @@ def main() -> int:
         for _ in range(args.requests)
     ]
     reqs = []
+    gaps = None
+    if args.poisson > 0:
+        arr_rng = np.random.default_rng(11)
+        gaps = arr_rng.exponential(1.0 / args.poisson, args.requests)
+        gaps[0] = 0.0
     t0 = time.perf_counter()
-    if args.stagger_ms > 0:
+    if gaps is not None:
+        # Poisson arrivals: bursty TTFT behaviour under load
+        be.start()
+        target = t0
+        for prompt, gap in zip(prompts, gaps):
+            target += gap
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            reqs.append(be.submit(prompt, sampling))
+        for r in reqs:
+            for _ in r.stream(timeout=600):
+                pass
+        be.close()
+    elif args.stagger_ms > 0:
         # staggered arrivals: the scheduler thread decodes while each new
         # request prefills chunk-by-chunk between decode chunks
         be.start()
@@ -151,7 +178,21 @@ def main() -> int:
                 "vs_baseline": 0.0,
                 "extra": {
                     "p90_ttft_ms": round(p90 * 1e3, 1),
+                    "p99_ttft_ms": round(
+                        ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.99))]
+                        * 1e3, 1,
+                    ),
                     "decode_tok_s": round(total_new / wall, 1),
+                    "arrivals": (
+                        f"poisson_{args.poisson}rps" if args.poisson > 0
+                        else (f"stagger_{args.stagger_ms}ms"
+                              if args.stagger_ms > 0 else "burst_all")
+                    ),
+                    "prefill_ticks": args.prefill_ticks,
+                    "spec_accept_rate": (
+                        round(be.spec_accepted / be.spec_drafted, 3)
+                        if be.spec_drafted else None
+                    ),
                 },
             }
         )

@@ -395,7 +395,52 @@ def load_params(
         return k_in % 64 == 0 and n_out % 128 == 0
 
     def mat3(tensor_name: str):
-        """Expert tensor [E, out, in] -> [E, in, out] (dense only for now)."""
+        """Expert tensor [E, out, in] -> stacked QTensor [E, ...] (weights
+        stay quantized in HBM; ggml ships MoE checkpoints quantized, and
+        dense-dequantized experts would multiply the footprint ~4x) or a
+        dense [E, in, out] array for unsupported kinds."""
+        desc = g.tensors[tensor_name]
+        e, n_out, k_in = desc.shape
+        if (
+            quant_on
+            and desc.ggml_type in SUPPORTED_QUANT_TYPES
+            and k_in % 64 == 0
+            and n_out % 128 == 0
+        ):
+            raw = np.ascontiguousarray(g.tensor_bytes(tensor_name)).view(
+                np.uint8
+            ).reshape(-1)
+            per = raw.size // e  # experts are contiguous (ne[0]=k fastest)
+            parts = [
+                pack_gguf_tensor(
+                    raw[i * per:(i + 1) * per], desc.ggml_type,
+                    (n_out, k_in), device_put=False,
+                )
+                for i in range(e)
+            ]
+            f = parts[0]
+            qt = QTensor(
+                np.stack([p.qs for p in parts]),
+                np.stack([p.scales for p in parts]),
+                np.stack([p.mins for p in parts])
+                if f.mins is not None else None,
+                f.kind, k_in, n_out, f.group,
+            )
+            from ..ops.qmatmul import grouped_supported
+            from ..ops.qtensor import promote_qtensor
+
+            if not grouped_supported(
+                qt.replace(qs=None, scales=None, mins=None)
+            ):
+                # small-K 4-bit experts (qwen3moe down: K = moe_ffn, often
+                # 256..768) fail the kernel's scale-sublane constraint in
+                # split-half form; the q8 container keeps whole-k tiles
+                # (2x the qs bytes, still 2x under bf16)
+                qt = promote_qtensor(qt, "q8", qt.group,
+                                     qt.mins is not None)
+            if grouped_supported(qt.replace(qs=None, scales=None,
+                                            mins=None)):
+                return qt
         return np.ascontiguousarray(
             g.tensor_f32(tensor_name).transpose(0, 2, 1)
         ).astype(dtype)
@@ -821,7 +866,7 @@ def _fused_decode_eligible(params, cfg, t, page_tables, cache) -> str | None:
     fused path), or None (generic scan)."""
     from ..ops import qmatmul as _qm
 
-    if t != 1 or page_tables is not None or cfg.n_experts:
+    if t != 1 or page_tables is not None:
         return None
     s = cache.max_seq
     kernels_ok = FUSED_DECODE_IMPL == "fused" or (
@@ -831,6 +876,25 @@ def _fused_decode_eligible(params, cfg, t, page_tables, cache) -> str | None:
     )
     if not kernels_ok:
         return None
+    if cfg.n_experts:
+        # MoE joins the fused path single-chip with quantized expert
+        # stacks (layer-flattened grouped kernels); dense experts and TP
+        # stay on the generic scan
+        if _qm.TP_MESH is not None:
+            return None
+        from ..ops.qmatmul import grouped_supported
+
+        exps = params["layers"].get("w_gate_exps")
+        dn = params["layers"].get("w_down_exps")
+        if not (
+            isinstance(exps, QTensor) and isinstance(dn, QTensor)
+            and grouped_supported(exps.replace(qs=None, scales=None,
+                                               mins=None))
+            and grouped_supported(dn.replace(qs=None, scales=None,
+                                             mins=None))
+        ):
+            return None
+        return "single"
     if _qm.TP_MESH is None:
         return "single"
     return "tp" if _fused_tp_eligible(params, cfg, cache) else None
@@ -916,9 +980,26 @@ def _decode_forward_fused(
             "attn_norm", "ffn_norm", "q_norm", "k_norm",
             "post_attn_norm", "post_ffw_norm",
             "wqkv_bias", "wq_bias", "wk_bias", "wv_bias",
+            "router",  # MoE: [H, E] per layer (tiny)
         ) if k in layers
     ]
     smalls = {k: layers[k] for k in small_keys}
+    if cfg.n_experts:
+        # layer-flatten the quantized expert stacks ([L, E, ...] ->
+        # [L*E, ...]) so the grouped kernels index experts with
+        # lidx*E + expert straight from HBM — no per-layer XLA slices
+        def flat_exps(qt):
+            return qt.replace(
+                qs=qt.qs.reshape((-1,) + qt.qs.shape[2:]),
+                scales=qt.scales.reshape((-1,) + qt.scales.shape[2:]),
+                mins=None if qt.mins is None
+                else qt.mins.reshape((-1,) + qt.mins.shape[2:]),
+            )
+
+        exps_flat = {
+            k: flat_exps(layers[k])
+            for k in ("w_gate_exps", "w_up_exps", "w_down_exps")
+        }
 
     def layer_step(h, xs):
         lidx, sm, win, local = xs
@@ -974,7 +1055,13 @@ def _decode_forward_fused(
         act = jax.nn.silu if cfg.activation == "silu" else partial(
             jax.nn.gelu, approximate=True
         )
-        if (
+        if cfg.n_experts:
+            lp_moe = dict(exps_flat)
+            lp_moe["router"] = sm["router"]
+            ffn_out = _moe_ffn_grouped_q(
+                x, lp_moe, cfg, act, expert_base=lidx * cfg.n_experts
+            )
+        elif (
             isinstance(layers.get("w_gate_up"), QTensor)
             and layers["w_gate_up"].kind == "q4mlpg"
         ):
@@ -2305,9 +2392,77 @@ def _moe_ffn_grouped(x: jax.Array, lp: dict, cfg: LlamaConfig, act) -> jax.Array
     return out.reshape(b, t, hdim).astype(x.dtype)
 
 
+def _moe_group_layout(flat_expert, n_rows: int, e: int, tm: int):
+    """Group-aligned padded row layout for the quantized grouped kernels:
+    sorted (token, slot) rows are scattered so each expert's rows start at
+    a tm-aligned offset — every tm-row block then belongs to exactly ONE
+    expert (ops.qmatmul.qmatmul_grouped contract). Returns (order, dst
+    [rows] padded positions, block_group [M_pad/tm], m_pad)."""
+    order = jnp.argsort(flat_expert)  # stable: ties keep token order
+    sorted_expert = flat_expert[order]
+    sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+    padded = ((sizes + tm - 1) // tm) * tm
+    offs = jnp.cumsum(padded) - padded  # start offset per expert
+    csizes = jnp.cumsum(sizes) - sizes
+    within = jnp.arange(n_rows, dtype=jnp.int32) - csizes[sorted_expert]
+    dst = offs[sorted_expert] + within
+    # static worst case: every active expert wastes < tm padding rows
+    m_pad = -(-(n_rows + (tm - 1) * min(e, n_rows)) // tm) * tm
+    ends = offs + padded
+    block_start = jnp.arange(m_pad // tm, dtype=jnp.int32) * tm
+    block_group = jnp.clip(
+        jnp.searchsorted(ends, block_start, side="right"), 0, e - 1
+    ).astype(jnp.int32)
+    return order, dst, block_group, m_pad
+
+
+def _moe_ffn_grouped_q(
+    x: jax.Array, lp: dict, cfg: LlamaConfig, act,
+    expert_base: jax.Array | None = None,
+) -> jax.Array:
+    """Quantized grouped MoE: expert weights stay in their 4/8-bit
+    containers in HBM (ggml ships MoE checkpoints quantized — dense
+    dequant at load would multiply the footprint ~4x) and the three expert
+    matmuls run the grouped quantized Pallas kernels over group-aligned
+    padded rows (see qmatmul.qmatmul_grouped). `expert_base` (fused decode
+    path) offsets expert ids into [L*E]-flattened containers."""
+    from ..ops.qmatmul import qmatmul_grouped
+
+    b, t, hdim = x.shape
+    e, used = cfg.n_experts, cfg.n_experts_used
+    n = b * t
+    xf = x.reshape(n, hdim)
+    top_vals, top_idx = _moe_route(xf, lp, cfg)
+    flat_expert = top_idx.reshape(-1)
+    flat_weight = top_vals.reshape(-1)
+    rows = n * used
+    # decode keeps tm minimal (one weight fetch per hit expert); prefill
+    # raises it so each expert's weight tiles amortize over more rows
+    tm = 8 if rows <= 512 else (32 if rows <= 4096 else 128)
+    order, dst, block_group, m_pad = _moe_group_layout(flat_expert, rows, e, tm)
+    token_of = order // used
+    if expert_base is not None:
+        block_group = block_group + expert_base
+    x_pad = jnp.zeros((m_pad, hdim), jnp.bfloat16).at[dst].set(
+        xf[token_of].astype(jnp.bfloat16)
+    )
+    gate = qmatmul_grouped(x_pad, lp["w_gate_exps"], block_group, tm)
+    up = qmatmul_grouped(x_pad, lp["w_up_exps"], block_group, tm)
+    inner = (
+        act(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+    down = qmatmul_grouped(inner, lp["w_down_exps"], block_group, tm)
+    dsel = down[dst].astype(jnp.float32) * flat_weight[order][:, None]
+    out = jnp.zeros((n, hdim), jnp.float32).at[token_of].add(dsel)
+    return out.reshape(b, t, hdim).astype(x.dtype)
+
+
 def _moe_ffn(x: jax.Array, lp: dict, cfg: LlamaConfig, act) -> jax.Array:
     """Mixture-of-experts FFN (qwen3moe): softmax router, top-k dispatch with
-    optionally renormalized weights. Dispatches on MOE_IMPL."""
+    optionally renormalized weights. Quantized expert stacks take the
+    grouped quantized kernels; dense stacks dispatch on MOE_IMPL."""
+    if isinstance(lp.get("w_gate_exps"), QTensor):
+        return _moe_ffn_grouped_q(x, lp, cfg, act)
     if MOE_IMPL == "grouped":
         return _moe_ffn_grouped(x, lp, cfg, act)
     return _moe_ffn_dense(x, lp, cfg, act)

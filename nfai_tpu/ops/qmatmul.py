@@ -845,6 +845,243 @@ def _dense_matmul_layered(x, layer, w, out_dtype=jnp.bfloat16):
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, w)
 
 
+# ---------------------------------------------------------------------------
+# grouped (MoE expert) quantized matmul
+#
+# `qmatmul_grouped` contracts row blocks of x against PER-BLOCK-selected
+# expert weights from a stacked [G, ...] container: the same layered-kernel
+# machinery, but the scalar-prefetch channel carries an [M/tm] block→group
+# index array instead of one layer id. Callers lay x out so every tm-row
+# block belongs to exactly ONE group (group-aligned padding — see
+# models.llama._moe_ffn_grouped_q): megablox-style grouped matmul semantics
+# with none of the partial-block bookkeeping, at a worst-case cost of tm-1
+# padding rows per active group. Weight traffic per active group ==
+# ceil(rows_g / tm) fetches of its tiles — for decode (rows_g ~ batch) that
+# is the one-fetch-per-hit-expert optimum.
+
+
+def _grouped_call(kernel, args, specs, tm, n, tn, grid, out_dtype,
+                  cost_bytes, flops):
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((args[1].shape[0], n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=specs,
+            out_specs=pl.BlockSpec((tm, tn), lambda mi, j, kk, lr: (mi, j)),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=(100 << 20),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=cost_bytes, transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
+def _q8g_kernel(gref, x_ref, qs_ref, sc_ref, mins_ref, o_ref, acc_ref,
+                *, group):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = _scaled_deq(qs_ref[...].astype(jnp.bfloat16), sc_ref[...], group)
+    acc_ref[...] += jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+    if mins_ref is not None:
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(x_ref[...], group),
+            mins_ref[...].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _q4g_kernel(
+    gref, x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
+    mins_lo_ref, mins_hi_ref, o_ref, acc_ref,
+):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    byte = qs_ref[...]
+    hi16f = (byte & jnp.int8(-16)).astype(jnp.bfloat16)
+    lof = byte.astype(jnp.bfloat16) - hi16f
+    w_lo = _scaled_deq(lof, sc_lo_ref[...], QBLOCK)
+    w_hi = _scaled_deq(hi16f, sc_hi_ref[...], QBLOCK)
+    acc_ref[...] += jax.lax.dot(
+        x_lo_ref[...].astype(jnp.bfloat16), w_lo,
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] += jax.lax.dot(
+        x_hi_ref[...].astype(jnp.bfloat16), w_hi,
+        preferred_element_type=jnp.float32,
+    )
+    if mins_lo_ref is not None:
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(x_lo_ref[...], QBLOCK),
+            mins_lo_ref[...].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(x_hi_ref[...], QBLOCK),
+            mins_hi_ref[...].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "out_dtype"))
+def _qmatmul_grouped_q4(x, block_group, qs, scales, mins=None, tm=8,
+                        out_dtype=jnp.bfloat16):
+    """x [M, K] (M % tm == 0) against stacked 4-bit qs [G, K/2, N]; row
+    block i uses group block_group[i]."""
+    m, k = x.shape
+    n = qs.shape[2]
+    tkb, tn = _pick_tiles(tm, k // 2, n)
+    nk = (k // 2) // tkb
+    grid = (m // tm, n // tn, nk)
+    kb = tkb // QBLOCK
+    has_mins = mins is not None
+    specs = [
+        pl.BlockSpec((tm, tkb), lambda mi, j, kk, lr: (mi, kk)),
+        pl.BlockSpec((tm, tkb), lambda mi, j, kk, lr, nk=nk: (mi, kk + nk)),
+        pl.BlockSpec((None, tkb, tn), lambda mi, j, kk, lr: (lr[mi], kk, j)),
+        pl.BlockSpec((None, kb, tn), lambda mi, j, kk, lr: (lr[mi], kk, j)),
+        pl.BlockSpec(
+            (None, kb, tn), lambda mi, j, kk, lr, nk=nk: (lr[mi], kk + nk, j)
+        ),
+    ]
+    args = [jnp.asarray(block_group, jnp.int32), x, x, qs, scales, scales]
+    if has_mins:
+        specs.append(
+            pl.BlockSpec((None, kb, tn), lambda mi, j, kk, lr: (lr[mi], kk, j))
+        )
+        specs.append(
+            pl.BlockSpec(
+                (None, kb, tn),
+                lambda mi, j, kk, lr, nk=nk: (lr[mi], kk + nk, j),
+            )
+        )
+        args += [mins, mins]
+        kernel = _q4g_kernel
+    else:
+        def kernel(gref, xlo, xhi, qs_r, sclo, schi, o, acc):
+            return _q4g_kernel(
+                gref, xlo, xhi, qs_r, sclo, schi, None, None, o, acc
+            )
+    return _grouped_call(
+        kernel, args, specs, tm, n, tn, grid, out_dtype,
+        cost_bytes=(k // 2) * n + (k // QBLOCK) * n * 4 + m * k * 2,
+        flops=2 * m * k * n // max(1, qs.shape[0]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "out_dtype", "group"))
+def _qmatmul_grouped_q8(x, block_group, qs, scales, mins=None, tm=8,
+                        out_dtype=jnp.bfloat16, group=QBLOCK):
+    """x [M, K] against stacked 8-bit qs [G, K, N]; per-block group ids."""
+    m, k = x.shape
+    n = qs.shape[2]
+    tk, tn = _pick_tiles(tm, k, n)
+    grid = (m // tm, n // tn, k // tk)
+    kb = tk // group
+    has_mins = mins is not None
+    specs = [
+        pl.BlockSpec((tm, tk), lambda mi, j, kk, lr: (mi, kk)),
+        pl.BlockSpec((None, tk, tn), lambda mi, j, kk, lr: (lr[mi], kk, j)),
+        pl.BlockSpec((None, kb, tn), lambda mi, j, kk, lr: (lr[mi], kk, j)),
+    ]
+    args = [jnp.asarray(block_group, jnp.int32), x, qs, scales]
+    if has_mins:
+        specs.append(
+            pl.BlockSpec((None, kb, tn), lambda mi, j, kk, lr: (lr[mi], kk, j))
+        )
+        args.append(mins)
+        kernel = functools.partial(_q8g_kernel, group=group)
+    else:
+        def kernel(gref, x_ref, qs_r, sc, o, acc):
+            return _q8g_kernel(gref, x_ref, qs_r, sc, None, o, acc,
+                               group=group)
+    return _grouped_call(
+        kernel, args, specs, tm, n, tn, grid, out_dtype,
+        cost_bytes=k * n + (k // group) * n * 4 + m * k * 2,
+        flops=2 * m * k * n // max(1, qs.shape[0]),
+    )
+
+
+def grouped_supported(qt: QTensor, tm: int = 8) -> bool:
+    """Kernel layout check for the grouped expert matmul (stacked v2/q8)."""
+    if qt.sections != 1 or qt.kind not in ("q4", "q8"):
+        return False
+    n_phys = qt.n if qt.qs is None else qt.qs.shape[-1]
+    if n_phys != qt.n:
+        return False
+    if qt.kind == "q8":
+        tk, _ = _pick_tiles(tm, qt.k, n_phys)
+        rows = tk // qt.group
+        return rows % 8 == 0 or rows == qt.k // qt.group
+    tkb, _ = _pick_tiles(tm, qt.k // 2, n_phys)
+    return (tkb // QBLOCK) % 8 == 0
+
+
+def qmatmul_grouped(
+    x: jax.Array,  # [M, K], M % tm == 0, each tm-block one group's rows
+    qt: QTensor,  # stacked [G, ...] v2/q8 container
+    block_group: jax.Array,  # [M/tm] int32 group id per row block
+    tm: int = 8,
+) -> jax.Array:
+    """Group-aligned quantized grouped matmul (MoE experts): row block i of
+    x contracts against expert block_group[i]'s weights. The XLA fallback
+    dequantizes per block via take (correctness reference). Under an active
+    TP mesh the expert stacks are GSPMD-sharded (no per-matmul shard_map
+    for the grouped kernels yet) — the fallback keeps logical semantics."""
+    if KERNEL_ENABLED and TP_MESH is None and grouped_supported(qt, tm):
+        if qt.kind == "q8":
+            y = _qmatmul_grouped_q8(
+                x, block_group, qt.qs, qt.scales, qt.mins, tm=tm,
+                group=qt.group,
+            )
+        else:
+            y = _qmatmul_grouped_q4(
+                x, block_group, qt.qs, qt.scales, qt.mins, tm=tm
+            )
+        return y[:, : qt.n]
+    # fallback: dense dequant of every group, then per-block gather-dot
+    from .qtensor import dequant_qtensor
+
+    g = qt.qs.shape[0]
+    dense = jnp.stack(
+        [
+            dequant_qtensor(
+                qt.replace(
+                    qs=qt.qs[i], scales=qt.scales[i],
+                    mins=None if qt.mins is None else qt.mins[i],
+                )
+            )
+            for i in range(g)
+        ]
+    )  # [G, K, N]
+    m, k = x.shape
+    xb = x.reshape(m // tm, tm, k)
+    wsel = jnp.take(dense, jnp.asarray(block_group, jnp.int32), axis=0)
+    y = jnp.einsum("btk,bkn->btn", xb.astype(jnp.float32),
+                   wsel.astype(jnp.float32))
+    return y.reshape(m, qt.n).astype(jnp.bfloat16)
+
+
 def linear_layered(x: jax.Array, w, layer: jax.Array) -> jax.Array:
     """Layer-indexed dense/quantized matmul over stacked weights [L, ...]."""
     if isinstance(w, QTensor):

@@ -103,6 +103,21 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
         "w_gate_up": wrap("layers.w_gate_up", True, False),
     }
     if params is not None:
+        def wrap_exps(name, spec):
+            """Expert stacks may be QTensors (quantized-in-HBM MoE):
+            qs/scales/mins are all rank-4 [L, E, rows, N] and shard the
+            same axis (GSPMD keeps logical semantics for the unmarked
+            dequant fallback under TP)."""
+            leaf = params["layers"].get(name)
+            from ..ops.qtensor import QTensor
+
+            if isinstance(leaf, QTensor):
+                return leaf.replace(
+                    qs=spec, scales=spec,
+                    mins=spec if leaf.mins is not None else None,
+                )
+            return spec
+
         # optional per-arch tensors + only keys actually present
         extra = {
             "wq_bias": s(None, TP_AXIS),
@@ -118,9 +133,15 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
             # every chip holds a slice of every expert (EP sharding over a
             # dedicated expert axis is a separate mesh layout)
             "router": s(None, None, None),
-            "w_gate_exps": s(None, None, None, TP_AXIS),
-            "w_up_exps": s(None, None, None, TP_AXIS),
-            "w_down_exps": s(None, None, TP_AXIS, None),
+            "w_gate_exps": wrap_exps(
+                "w_gate_exps", s(None, None, None, TP_AXIS)
+            ),
+            "w_up_exps": wrap_exps(
+                "w_up_exps", s(None, None, None, TP_AXIS)
+            ),
+            "w_down_exps": wrap_exps(
+                "w_down_exps", s(None, None, TP_AXIS, None)
+            ),
         }
         layer_keys.update(extra)
         layer_keys = {

@@ -76,3 +76,35 @@ def test_eval_cli(gguf_path, tmp_path):
     assert r.returncode == 0, r.stderr[-800:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert "ppl_quantized" in out or "ppl_dense" in out
+
+
+def test_validate_harness_roundtrip(tmp_path):
+    """tools validate: --update records fixtures; a re-run passes; a
+    DIFFERENT checkpoint (same shapes, different weights) fails — the
+    harness is proven working before any real GGUF is reachable."""
+    from nfai_tpu.models.testing import make_tiny_llama_gguf
+    from nfai_tpu.tools import main as tools_main
+
+    p1 = make_tiny_llama_gguf(tmp_path / "v1.gguf", n_layers=2, seed=70,
+                              context_length=256)
+    p2 = make_tiny_llama_gguf(tmp_path / "v2.gguf", n_layers=2, seed=71,
+                              context_length=256)
+    fx = str(tmp_path / "fixtures.json")
+    common = ["--fixtures", fx, "--max-seq", "96", "--dtype", "float32"]
+    # no fixture yet -> exit 2
+    assert tools_main(["validate", str(p1), *common]) == 2
+    # record, then check passes
+    assert tools_main(["validate", str(p1), *common, "--update"]) == 0
+    assert tools_main(["validate", str(p1), *common]) == 0
+    # the OTHER checkpoint has its own hash -> needs its own fixture
+    assert tools_main(["validate", str(p2), *common]) == 2
+    # corrupt the recorded goldens -> validation must FAIL (exit 1)
+    import json as _json
+
+    with open(fx) as f:
+        data = _json.load(f)
+    key = next(iter(data))
+    data[key]["greedy_tokens"][0][0] ^= 1
+    with open(fx, "w") as f:
+        _json.dump(data, f)
+    assert tools_main(["validate", str(p1), *common]) == 1

@@ -143,3 +143,88 @@ def test_moe_grouped_matches_dense(tmp_path):
 
     dense, grouped = run("dense"), run("grouped")
     np.testing.assert_allclose(grouped, dense, rtol=2e-5, atol=2e-5)
+
+
+def test_moe_quantized_experts_loading_and_parity(tmp_path):
+    """Quantized MoE (VERDICT r2 #3): expert tensors stay 4-bit QTensors in
+    HBM (~4x smaller than the old dense-dequant load) and the grouped
+    quantized kernels match the dense-dequantized grouped path."""
+    from nfai_tpu.gguf.constants import GGMLType
+    from nfai_tpu.ops.qtensor import QTensor
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "moeq.gguf", arch="qwen3moe", n_experts=4,
+        n_experts_used=2, qk_norm=True, hidden=512, n_heads=8, n_kv_heads=4,
+        ffn_dim=256, vocab_size=512, quant=GGMLType.Q4_K, seed=61,
+    )
+    with GGUFFile.open(path) as g:
+        cfg = LlamaConfig.from_gguf(g)
+        qparams = load_params(g, cfg, quantized="auto")
+        dparams = load_params(g, cfg, dtype=jnp.float32, quantized=False)
+    exps = qparams["layers"]["w_gate_exps"]
+    assert isinstance(exps, QTensor) and exps.kind == "q4"
+    assert exps.qs.shape == (2, 4, 256, 256)  # [L, E, K/2, N]
+    hbm = sum(
+        qparams["layers"][k].hbm_bytes()
+        for k in ("w_gate_exps", "w_up_exps", "w_down_exps")
+    )
+    dense = sum(
+        dparams["layers"][k].nbytes
+        for k in ("w_gate_exps", "w_up_exps", "w_down_exps")
+    )
+    assert hbm < dense / 4  # quantized in HBM (f32 dense basis)
+
+    toks = jnp.asarray([[3, 5, 7, 9, 11, 13, 2, 4]], jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+    cq = KVCache.zeros(cfg, 1, 32, jnp.bfloat16)
+    cd = KVCache.zeros(cfg, 1, 32, jnp.float32)
+    hq, _ = forward(qparams, cfg, toks, pos, cq)
+    hd, _ = forward(dparams, cfg, toks, pos, cd)
+    lq = np.asarray(logits_for(qparams, hq, cfg), np.float32)
+    ld = np.asarray(logits_for(dparams, hd, cfg), np.float32)
+    # same effective weights (the dense load dequantizes the same Q4_K
+    # data); differences are bf16 compute rounding
+    rel = np.abs(lq - ld).max() / (np.abs(ld).max() + 1e-9)
+    assert rel < 0.08, rel
+
+
+def test_moe_quantized_fused_decode_path(tmp_path):
+    """Quantized MoE decode routes through the fused single-token path
+    (layer-flattened grouped kernels) and matches the generic scan."""
+    from nfai_tpu.config import EngineConfig, SamplingParams
+    from nfai_tpu.gguf.constants import GGMLType
+    from nfai_tpu.models import llama as llama_mod
+    from nfai_tpu.runtime.engine import InferenceEngine
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "moefd.gguf", arch="qwen3moe", n_experts=4,
+        n_experts_used=2, qk_norm=True, hidden=512, n_heads=8, n_kv_heads=4,
+        ffn_dim=256, vocab_size=512, quant=GGMLType.Q4_K, seed=63,
+    )
+    eng = InferenceEngine(path, EngineConfig(max_seq_len=128,
+                                             dtype="bfloat16",
+                                             prefill_chunk=32))
+    mode = llama_mod._fused_decode_eligible(
+        eng.params, eng.model_cfg, 1, None, eng.new_cache(1)
+    )
+    # CPU backend: auto mode declines; forced mode must pick "single"
+    old = llama_mod.FUSED_DECODE_IMPL
+    llama_mod.FUSED_DECODE_IMPL = "fused"
+    try:
+        assert llama_mod._fused_decode_eligible(
+            eng.params, eng.model_cfg, 1, None, eng.new_cache(1)
+        ) == "single"
+        ids = [int(x) for x in np.random.default_rng(3).integers(5, 200, 9)]
+        s = __import__("nfai_tpu.config", fromlist=["SamplingParams"])
+        sp = SamplingParams(temperature=0.0, max_new_tokens=8)
+        got = list(eng.generate(ids, sp))
+    finally:
+        llama_mod.FUSED_DECODE_IMPL = old
+    # generic scan reference
+    llama_mod.FUSED_DECODE_IMPL = "xla"
+    try:
+        want = list(eng.generate(ids, sp))
+    finally:
+        llama_mod.FUSED_DECODE_IMPL = old
+    assert got == want
+    eng.gguf.close()

@@ -11,6 +11,7 @@ write path) and per-slot sampling parameters; finished slots are masked
 from __future__ import annotations
 
 import itertools
+import os
 import queue
 import threading
 import time
@@ -780,33 +781,50 @@ class BatchEngine:
             if not active_idx:
                 return sum(1 for s in self.slots if s.request is not None)
         B = self.max_batch
-        tokens = np.zeros(B, np.int32)
-        positions = np.zeros(B, np.int32)
-        active = np.zeros(B, bool)
-        temps = np.zeros(B, np.float32)
-        top_ps = np.ones(B, np.float32)
-        top_ks = np.full(B, self.top_k, np.int32)
-        min_ps = np.zeros(B, np.float32)
-        pres = np.zeros(B, np.float32)
-        freqs = np.zeros(B, np.float32)
-        bias_ids = np.zeros((B, self.bias_width), np.int32)
-        bias_vals = np.zeros((B, self.bias_width), np.float32)
+        # Lane compaction (paged mode): block tables make batch lanes
+        # virtual, so a mostly-idle engine runs the decode at the smallest
+        # power-of-two width covering the ACTIVE slots instead of paying
+        # full-B attention/cache reads for frozen lanes (the fused chunk's
+        # weight streaming is width-independent; the win is the per-lane
+        # attention + sampling work). Dense mode keeps physical lanes.
+        if self.paged and os.environ.get("NFAI_LANE_COMPACT", "1") != "0":
+            rows = list(active_idx)
+            width = 1
+            while width < len(rows):
+                width *= 2
+            width = min(width, B)
+        else:
+            rows = list(range(B))
+            width = B
+        row_of = {i: j for j, i in enumerate(rows)}
+        tokens = np.zeros(width, np.int32)
+        positions = np.zeros(width, np.int32)
+        active = np.zeros(width, bool)
+        temps = np.zeros(width, np.float32)
+        top_ps = np.ones(width, np.float32)
+        top_ks = np.full(width, self.top_k, np.int32)
+        min_ps = np.zeros(width, np.float32)
+        pres = np.zeros(width, np.float32)
+        freqs = np.zeros(width, np.float32)
+        bias_ids = np.zeros((width, self.bias_width), np.int32)
+        bias_vals = np.zeros((width, self.bias_width), np.float32)
         any_bias = False
         any_pen = False
         for i in active_idx:
+            j = row_of[i]
             s = self.slots[i]
-            tokens[i] = s.next_token
-            positions[i] = s.pos
-            active[i] = True
+            tokens[j] = s.next_token
+            positions[j] = s.pos
+            active[j] = True
             sp = s.request.sampling
-            temps[i] = sp.temperature
-            top_ps[i] = sp.top_p
-            top_ks[i] = self._effective_top_k(sp.top_k)
-            min_ps[i] = sp.min_p
-            pres[i] = sp.presence_penalty
-            freqs[i] = sp.frequency_penalty
+            temps[j] = sp.temperature
+            top_ps[j] = sp.top_p
+            top_ks[j] = self._effective_top_k(sp.top_k)
+            min_ps[j] = sp.min_p
+            pres[j] = sp.presence_penalty
+            freqs[j] = sp.frequency_penalty
             if sp.logit_bias:
-                bias_ids[i], bias_vals[i] = self._bias_row(sp)
+                bias_ids[j], bias_vals[j] = self._bias_row(sp)
                 any_bias = True
             if sp.has_penalties:
                 any_pen = True
@@ -821,9 +839,11 @@ class BatchEngine:
             ))
         extras = dict(min_p=jnp.asarray(min_ps))
         if constrained_idx:
-            amask = np.ones((B, self.engine.model_cfg.vocab_size), bool)
+            amask = np.ones((width, self.engine.model_cfg.vocab_size), bool)
             for i in constrained_idx:
-                amask[i] = self._mask_row(self.slots[i], self.slots[i].budget)
+                amask[row_of[i]] = self._mask_row(
+                    self.slots[i], self.slots[i].budget
+                )
             extras["allowed_mask"] = jnp.asarray(amask)
         if n_lp is not None:
             extras["n_logprobs"] = n_lp
@@ -837,14 +857,22 @@ class BatchEngine:
                 self._counts = jnp.zeros(
                     (B, self.engine.model_cfg.vocab_size), jnp.int32
                 )
+            row_sel = np.asarray(rows, np.int32)
+            pad = width - len(rows)
+            if pad:
+                row_sel = np.concatenate([row_sel, np.zeros(pad, np.int32)])
+            counts_in = jnp.take(self._counts, jnp.asarray(row_sel), axis=0)
             extras.update(
                 presence=jnp.asarray(pres),
                 frequency=jnp.asarray(freqs),
-                counts=self._counts,
+                counts=counts_in,
             )
         self._key, sub = jax.random.split(self._key)
         if self.paged:
-            tables = np.stack([self._table_row(i) for i in range(B)])
+            tables = np.stack(
+                [self._table_row(i) for i in rows]
+                + [np.zeros(self.max_pages, np.int32)] * (width - len(rows))
+            )
             out = paged_decode_loop(
                 self.engine.params,
                 self.engine.model_cfg,
@@ -881,28 +909,32 @@ class BatchEngine:
         toks, nxt, self.cache, _ = out[:4]
         rest = list(out[4:])
         if any_pen:
-            self._counts = rest.pop(0)
+            new_counts = rest.pop(0)
+            self._counts = self._counts.at[
+                jnp.asarray(np.asarray(rows, np.int32))
+            ].set(new_counts[: len(rows)])
         lp_arrs = [np.asarray(a) for a in rest] if n_lp is not None else None
         toks_host = np.asarray(toks)
         nxt_host = np.asarray(nxt)
         for i in active_idx:
+            j = row_of[i]
             slot = self.slots[i]
-            # toks[i] = [prev next_token (already emitted), t1, ..., t_{n-1}];
+            # toks[j] = [prev next_token (already emitted), t1, ..., t_{n-1}];
             # fresh tokens for the stream are t1..t_{n-1} plus the new tail
-            fresh = [int(t) for t in toks_host[i][1:]] + [int(nxt_host[i])]
+            fresh = [int(t) for t in toks_host[j][1:]] + [int(nxt_host[j])]
             lps = None
             sp = slot.request.sampling
             if lp_arrs is not None and sp.logprobs is not None:
                 lp_a, tid_a, tlp_a = lp_arrs
-                # step j's logprob arrays describe fresh[j] exactly
+                # step k's logprob arrays describe fresh[k] exactly
                 lps = [
                     self._lp_entry(
-                        lp_a[i], tid_a[i], tlp_a[i], j, sp.logprobs, fresh[j]
+                        lp_a[j], tid_a[j], tlp_a[j], k, sp.logprobs, fresh[k]
                     )
-                    for j in range(n)
+                    for k in range(n)
                 ]
             slot.pos += n
-            slot.next_token = int(nxt_host[i])
+            slot.next_token = int(nxt_host[j])
             if slot.machine is not None and not self._advance_machine(
                 i, fresh
             ):

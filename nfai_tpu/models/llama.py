@@ -1792,7 +1792,7 @@ def spec_decode_rounds(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "dcfg", "n_rounds", "gamma"),
+    static_argnames=("cfg", "dcfg", "n_rounds", "gamma", "top_k"),
     donate_argnames=("cache", "dcache"),
 )
 def draft_spec_rounds(
@@ -1808,29 +1808,41 @@ def draft_spec_rounds(
     active: jax.Array,  # [B] bool
     n_rounds: int,
     gamma: int,
+    key: jax.Array | None = None,  # sampled acceptance (None = greedy)
+    temps: jax.Array | None = None,  # [B]
+    top_k: int = 64,
+    top_ps: jax.Array | None = None,
+    min_ps: jax.Array | None = None,
 ) -> tuple:
-    """Fused draft-model speculative decoding (greedy): per round, the
-    draft model rolls out gamma+1 greedy steps (the +1 step writes the
-    last draft's KV so the draft cache never develops a hole on full
-    acceptance), the target verifies all gamma drafts in ONE forward, and
-    the longest argmax-matching prefix commits. Output is EXACTLY the
-    target's greedy sequence regardless of draft quality — the draft only
-    sets the acceptance rate. Same lane conventions as spec_decode_rounds
-    (EOS stops before emission; frozen lanes rewrite their own position).
+    """Fused draft-model speculative decoding: per round, the draft model
+    rolls out gamma+1 greedy steps (the +1 step writes the last draft's KV
+    so the draft cache never develops a hole on full acceptance), the
+    target verifies all gamma drafts in ONE forward, and the accepted
+    prefix commits. Greedy requests (temps unset) use longest
+    argmax-prefix acceptance — output EXACTLY the target's greedy sequence
+    regardless of draft quality. Sampled requests use rejection-sampling
+    acceptance against the GREEDY draft rollout (a point-mass proposal, so
+    ops.sampling.spec_verify_sample applies unchanged and the output law
+    equals plain sampling). Same lane conventions as spec_decode_rounds.
 
     Returns (out_tokens [B, n_rounds*(gamma+1)], out_counts [B],
     next_tokens, next_pos, cache, dcache, active, drafted, accepted)."""
+    from ..ops.sampling import spec_verify_sample
+
     b = tokens.shape[0]
     s_cache = cache.max_seq
     t = gamma + 1
     n_out = n_rounds * t
     jt = jnp.arange(t, dtype=jnp.int32)[None]
+    sampled = temps is not None
+    if key is None:
+        key = jax.random.PRNGKey(0)  # unused in the greedy path
 
     def is_eos(x):
         return jnp.any(x[..., None] == eos_ids[None], axis=-1)
 
     def round_body(carry, _):
-        tok, pos, cache, dcache, outs, ocnt, act, drafted, accepted = carry
+        tok, pos, cache, dcache, outs, ocnt, act, drafted, accepted, key = carry
         act = act & ~is_eos(tok) & (pos + t <= s_cache)
         posc = jnp.where(act, pos, jnp.minimum(pos, s_cache - t))
 
@@ -1855,18 +1867,25 @@ def draft_spec_rounds(
         posv = jnp.where(act[:, None], posc[:, None] + jt, posc[:, None])
         posv = jnp.clip(posv, 0, s_cache - 1)
         h, cache = forward(params, cfg, tin, posv, cache, uniform_start=False)
-        nxt = jnp.argmax(
-            logits_for(params, h, cfg).astype(jnp.float32), axis=-1
-        ).astype(jnp.int32)
-        ok = (draft == nxt[:, :-1]).astype(jnp.int32)
-        n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)
+        logits3 = logits_for(params, h, cfg).astype(jnp.float32)
+        if sampled:
+            key, sub = jax.random.split(key)
+            n_acc, new_tok = spec_verify_sample(
+                logits3, draft, sub, temps, top_k,
+                1.0 if top_ps is None else top_ps, None,
+                0.0 if min_ps is None else min_ps,
+            )
+        else:
+            nxt = jnp.argmax(logits3, axis=-1).astype(jnp.int32)
+            ok = (draft == nxt[:, :-1]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(ok, axis=1), axis=1)
+            new_tok = jnp.take_along_axis(nxt, n_acc[:, None], axis=1)[:, 0]
         e = n_acc + 1
         emit_eos = is_eos(tin) & (jt < e[:, None])
         first_eos = jnp.min(jnp.where(emit_eos, jt, n_out), axis=1)
         hit_eos = first_eos < e
         e = jnp.where(hit_eos, first_eos, e)
         e = jnp.where(act, e, 0)
-        new_tok = jnp.take_along_axis(nxt, n_acc[:, None], axis=1)[:, 0]
         new_tok = jnp.where(act & ~hit_eos, new_tok, tok)
         bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
         oidx = jnp.where(jt < e[:, None], ocnt[:, None] + jt, n_out)
@@ -1877,16 +1896,16 @@ def draft_spec_rounds(
         act = act & ~hit_eos
         return (
             new_tok, pos + adv, cache, dcache, outs, ocnt + adv, act,
-            drafted, accepted,
+            drafted, accepted, key,
         ), None
 
     outs0 = jnp.zeros((b, n_out), jnp.int32)
     zero = jnp.zeros((b,), jnp.int32)
-    (tok, pos, cache, dcache, outs, ocnt, act, drafted, accepted), _ = (
+    (tok, pos, cache, dcache, outs, ocnt, act, drafted, accepted, _), _ = (
         jax.lax.scan(
             round_body,
             (tokens, positions, cache, dcache, outs0, zero, active,
-             zero, zero),
+             zero, zero, key),
             None,
             length=n_rounds,
         )

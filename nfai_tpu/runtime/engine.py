@@ -278,10 +278,9 @@ class InferenceEngine:
             )
         if (
             self.config.speculative in ("ngram", "draft")
-            # ngram speculates for sampled requests too (rejection-sampling
-            # acceptance, output law identical to plain sampling); the
-            # draft-model path is greedy-only for now
-            and (sampling.greedy or self.config.speculative == "ngram")
+            # both drafters speculate for sampled requests too
+            # (rejection-sampling acceptance against the point-mass draft;
+            # output law identical to plain sampling)
             and bias_ids is None
             and counts is None
             and want_lp is None
@@ -289,7 +288,7 @@ class InferenceEngine:
             if self.config.speculative == "draft":
                 yield from self._generate_draft(
                     token, pos, cache, list(int(t) for t in prompt_ids),
-                    sampling, metrics,
+                    sampling, metrics, key,
                 )
             else:
                 yield from self._generate_ngram(
@@ -583,7 +582,7 @@ class InferenceEngine:
         return self._draft_engine
 
     def _generate_draft(
-        self, token, pos, cache, history, sampling, metrics
+        self, token, pos, cache, history, sampling, metrics, key=None
     ) -> Iterator[int]:
         """Draft-model speculative decoding (greedy), fully fused: the
         draft GGUF prefills the same prompt into its own cache, then
@@ -597,6 +596,18 @@ class InferenceEngine:
         gamma = max(1, self.config.spec_tokens)
         rounds = max(1, self.config.spec_rounds)
         de = self.draft_engine
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        spec_kw = {}
+        if not sampling.greedy:
+            # rejection-sampling acceptance vs the greedy point-mass draft:
+            # output law equals plain sampling (spec_verify_sample)
+            spec_kw = dict(
+                temps=jnp.asarray([sampling.temperature], jnp.float32),
+                top_k=max(1, sampling.top_k),
+                top_ps=jnp.asarray([sampling.top_p], jnp.float32),
+                min_ps=jnp.asarray([sampling.min_p], jnp.float32),
+            )
         t_dec = time.perf_counter()
         emitted = 0
         tok_id = int(token[0])
@@ -624,11 +635,14 @@ class InferenceEngine:
                 m = min(self.config.decode_chunk, room,
                         sampling.max_new_tokens - emitted)
                 m = 1 << (max(m, 1).bit_length() - 1)
+                key, sub = jax.random.split(key)
                 toks, token, cache, _ = decode_loop(
                     self.params, self.model_cfg,
                     jnp.asarray([tok_id], jnp.int32),
                     jnp.asarray([pos], jnp.int32),
-                    cache, jax.random.PRNGKey(0), m, 0.0,
+                    cache, sub, m, sampling.temperature,
+                    max(1, sampling.top_k), sampling.top_p,
+                    min_p=sampling.min_p,
                 )
                 outs = [int(t) for t in np.asarray(toks[0])]
                 nxt_id = int(token[0])
@@ -648,6 +662,9 @@ class InferenceEngine:
                 self._last_pos = pos
                 tok_id = nxt_id
                 continue
+            if spec_kw:
+                key, sub = jax.random.split(key)
+                spec_kw["key"] = sub
             outs_d, ocnt, pend, _p, cache, dcache, act, dr, ac = (
                 draft_spec_rounds(
                     self.params, self.model_cfg,
@@ -655,7 +672,7 @@ class InferenceEngine:
                     jnp.asarray([tok_id], jnp.int32),
                     jnp.asarray([pos], jnp.int32),
                     cache, dcache, eos_arr,
-                    jnp.ones((1,), jnp.bool_), rounds, gamma,
+                    jnp.ones((1,), jnp.bool_), rounds, gamma, **spec_kw,
                 )
             )
             cnt = int(ocnt[0])

@@ -356,3 +356,31 @@ def test_batch_engine_mixed_sampled_spec(tmp_path, paged):
     assert drafted > 0  # the mixed batch DID speculate
     assert g_spec == g_plain  # greedy lane exact
     assert len(s_spec) == 16  # sampled lane completed its budget
+
+
+def test_draft_model_sampled_spec(tmp_path):
+    """speculative='draft' with temperature>0: rejection-sampling acceptance
+    against the greedy draft rollout — generation completes, counters move,
+    fixed seed reproduces."""
+    tgt = make_tiny_llama_gguf(
+        tmp_path / "dst.gguf", hidden=128, n_layers=2, n_heads=4,
+        n_kv_heads=2, ffn_dim=256, vocab_size=512, quant=GGMLType.F16,
+        seed=21,
+    )
+    eng = InferenceEngine(
+        tgt,
+        EngineConfig(max_seq_len=128, dtype="float32", speculative="draft",
+                     draft_gguf=str(tgt)),
+    )
+    prompt = [3, 4, 5, 3, 4, 5, 3, 4]
+    sp = SamplingParams(temperature=0.7, top_k=20, seed=5, max_new_tokens=16)
+    from nfai_tpu.runtime.engine import GenerationMetrics
+
+    m = GenerationMetrics()
+    out1 = list(eng.generate(prompt, sp, metrics=m))
+    assert len(out1) > 0
+    assert m.spec_drafted > 0
+    # identical draft == target: sampled acceptance should accept often
+    assert m.spec_accepted > 0
+    out2 = list(eng.generate(prompt, sp))
+    assert out1 == out2

@@ -180,15 +180,27 @@ def main() -> int:
         )
         layer_weights["w_gate_exps"] = weight(layers, e, hidden, fm)
         layer_weights["w_up_exps"] = weight(layers, e, hidden, fm)
-        dn = weight(layers, e, fm, hidden)
         from nfai_tpu.ops.qmatmul import grouped_supported
-        from nfai_tpu.ops.qtensor import promote_qtensor
+        from nfai_tpu.ops.qtensor import QTensor as _QTm
 
-        if isinstance(dn, QTensor):
-            flat_meta = dn.replace(qs=None, scales=None, mins=None)
-            if not grouped_supported(flat_meta):
-                dn = promote_qtensor(dn, "q8", dn.group, dn.mins is not None)
-        layer_weights["w_down_exps"] = dn
+        down_meta = _QTm(None, None, None, "q4", fm, hidden)
+        if args.quant == "q4" and not grouped_supported(down_meta):
+            # small-K down experts take the q8 container (load_params
+            # promotes; synthetic builds it directly — a promote here would
+            # round-trip GBs through the host tunnel)
+            sc = (
+                jax.random.uniform(
+                    next(kiter), (layers, e, fm // 32, hidden), jnp.float32
+                ) * 0.004
+            ).astype(jnp.bfloat16).astype(jnp.float32)
+            qs8 = jax.random.randint(
+                next(kiter), (layers, e, fm, hidden), -127, 128, jnp.int8
+            )
+            layer_weights["w_down_exps"] = QTensor(
+                qs8, sc, sc * 8.0, "q8", fm, hidden
+            )
+        else:
+            layer_weights["w_down_exps"] = weight(layers, e, fm, hidden)
     else:
         layer_weights["w_gate_up"] = weight(layers, hidden, 2 * ffn)
         layer_weights["w_down"] = weight(layers, ffn, hidden)

@@ -229,6 +229,16 @@ def main() -> int:
             k: to_v3_stacked(v) if isinstance(v, _QT) else v
             for k, v in params["layers"].items()
         }
+    if args.quant == "q8_0" and not args.no_v3:
+        # mirror load_params: eligible 8-bit weights repack to the
+        # cast-free q8v3 bit-decode container (ops.qtensor)
+        from nfai_tpu.ops.qtensor import QTensor as _QT8, to_q8v3_stacked
+
+        params["lm_head"] = to_q8v3_stacked(params["lm_head"])
+        params["layers"] = {
+            k: to_q8v3_stacked(v) if isinstance(v, _QT8) else v
+            for k, v in params["layers"].items()
+        }
 
     def tree_bytes(tree, fixed_scale_bytes=None):
         """Total HBM weight bytes. With `fixed_scale_bytes`, QTensor

@@ -574,7 +574,8 @@ def load_params(
         else:
             _fuse_projections(layers, cfg)
     from ..ops.qtensor import (
-        to_v3_mlp_stacked, to_v3_mlp_stacked_tp, to_v3_stacked,
+        to_q8v3_stacked, to_v3_mlp_stacked, to_v3_mlp_stacked_tp,
+        to_v3_stacked,
     )
 
     # eligible 4-bit layer weights repack to the cast-free v3 bit-decode
@@ -598,8 +599,19 @@ def load_params(
             raw["w_gate_up"], raw["w_down"] = to_v3_mlp_stacked(
                 raw["w_gate_up"], raw["w_down"]
             )
+    def repack(s):
+        # 4-bit → v3 bit-decode; 8-bit → q8v3 (two cast-free nibble word
+        # sets); each is a no-op for the other's kind and for
+        # sectioned/TP/odd-K/expert-stack leaves
+        s = to_v3_stacked(s)
+        if os.environ.get("NFAI_Q8V3", "1") != "0" and getattr(
+            s, "qs", None
+        ) is not None and np.asarray(s.qs).ndim == 3:
+            s = to_q8v3_stacked(s)
+        return s
+
     stacked = {
-        k: put(k, to_v3_stacked(s) if isinstance(s, QTensor) else s)
+        k: put(k, repack(s) if isinstance(s, QTensor) else s)
         for k, s in raw.items()
     }
 
@@ -630,6 +642,13 @@ def load_params(
                 from ..ops.qtensor import to_v3
 
                 lm_head = to_v3(lm_head)
+            if (
+                lm_head.kind == "q8"
+                and os.environ.get("NFAI_Q8V3", "1") != "0"
+            ):
+                # 8-bit heads take the cast-free q8v3 container at any
+                # width (same integer grid; no gather consumer to preserve)
+                lm_head = to_q8v3_stacked(lm_head)
 
     if "rope_freqs.weight" in g.tensors:
         # llama.cpp stores per-dim frequency *divisors* (freq_factors,

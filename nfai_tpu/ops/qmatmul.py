@@ -331,7 +331,7 @@ def _q4_matmul(x, qs, scales, mins=None, out_dtype=jnp.bfloat16):
 # header constant folded into mins by ops.qtensor.to_v3.
 
 
-def _pick_v3_tiles(b: int, nw: int, n: int) -> tuple[int, int]:
+def _pick_v3_tiles(b: int, nw: int, n: int, wmul: int = 1) -> tuple[int, int]:
     """(TW, TN) for the v3 kernels: TW in int32 word rows (8 k elements
     each), TN in lanes. Per-grid-cell VMEM (v5e scoped limit 16 MB):
     weight int32 tile + double buffer ~8·tw·tn, four decoded bf16 planes
@@ -354,7 +354,7 @@ def _pick_v3_tiles(b: int, nw: int, n: int) -> tuple[int, int]:
             tw, tn = (t_out, t_in) if swap else (t_in, t_out)
             if n % tn or nw % tw:
                 continue
-            if 24 * tw * tn + 32 * b * tw + 6 * b * tn <= budget:
+            if 24 * wmul * tw * tn + 32 * b * tw + 6 * b * tn <= budget:
                 return tw, tn
     return nw, n  # tiny/odd test shapes
 
@@ -794,6 +794,131 @@ def _q4v3_matmul_layered(x, layer, q32, scales, mins, out_dtype=jnp.bfloat16,
     )
 
 
+def _q8v3l_kernel(
+    lref, x0, x1, x2, x3, qlo_ref, qhi_ref,
+    s0, s1, s2, s3, m0, m1, m2, m3,
+    o_ref, acc_ref, *, group,
+):
+    """Layered cast-free 8-bit matmul (kind "q8v3", ops.qtensor
+    to_q8v3_stacked): the lo nibbles decode with the standard 0x4000
+    header (2 + ql/8), the hi nibbles with the step-2 header 0x4200
+    (32 + 2·qh); the bf16 fold u0 = (hi − 50) + lo is EXACT and equals
+    v/8, so each x-plane costs ONE dot against 8s·u0 — no int→float
+    casts (the plain q8 kernel's int8→bf16 cast is a ~2x dequant tax)
+    and no affine amplification. Symmetric kinds skip the mins dot."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    wl, wh = qlo_ref[...], qhi_ref[...]
+    msk = jnp.int32(0x00780078)
+    hdr_lo = jnp.int32(0x40004000)
+    hdr_hi = jnp.int32(_HI_HDR)
+    off = jnp.bfloat16(50)
+
+    def u0(p):
+        lo = pltpu.bitcast((_shift(wl, p) & msk) | hdr_lo, jnp.bfloat16)
+        hi = pltpu.bitcast((_shift(wh, p) & msk) | hdr_hi, jnp.bfloat16)
+        return (hi - off) + lo  # exact: v/8 ∈ [−16, 15.875]
+
+    for p, (xr, sr, mr) in enumerate(zip(
+        (x0, x1, x2, x3), (s0, s1, s2, s3), (m0, m1, m2, m3)
+    )):
+        xv = xr[...]
+        acc_ref[...] += jax.lax.dot(
+            xv.astype(jnp.bfloat16),
+            _scaled_deq(u0(p), sr[...], group),
+            preferred_element_type=jnp.float32,
+        )
+        if mr is not None:
+            acc_ref[...] -= jax.lax.dot(
+                _block_sums(xv, group),
+                mr[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+_HI_HDR = 0x42004200  # must match ops.qtensor.V3_HI_HDR
+_V3_PLANE_SHIFTS = (3, -5, -1, -9)
+
+
+def _shift(w, p):
+    s = _V3_PLANE_SHIFTS[p]
+    return (w << s) if s > 0 else (w >> -s)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "group"))
+def _q8v3_matmul_layered(x, layer, q32, scales, mins=None,
+                         out_dtype=jnp.bfloat16, group=QBLOCK):
+    """x [B, K] @ q8v3 stacked container: q32 [L, K/4, N] int32 (lo word
+    rows [0, K/8) then hi rows), scales [L, K/group, N] effective 8s,
+    mins [L, K/group, N] or None. See ops.qtensor.to_q8v3_stacked."""
+    b, k = x.shape
+    n = q32.shape[2]
+    nw = k // 8  # word rows per nibble set
+    tw, tn = _pick_v3_tiles(b, nw, n, wmul=2)
+    nk = nw // tw
+    tkp = 2 * tw  # k rows per plane per tile
+    kbp = tkp // group  # scale rows per plane per tile
+    has_mins = mins is not None
+    xspecs = [
+        pl.BlockSpec((b, tkp), lambda j, kk, lr, p=p, nk=nk: (0, kk + p * nk))
+        for p in range(4)
+    ]
+    wspecs = [
+        pl.BlockSpec((None, tw, tn), lambda j, kk, lr: (lr[0], kk, j)),
+        pl.BlockSpec((None, tw, tn), lambda j, kk, lr, nk=nk: (lr[0], kk + nk, j)),
+    ]
+    sspecs = [
+        pl.BlockSpec(
+            (None, kbp, tn),
+            lambda j, kk, lr, p=p, nk=nk: (lr[0], kk + p * nk, j),
+        )
+        for p in range(4)
+    ]
+    if has_mins:
+        kernel = functools.partial(_q8v3l_kernel, group=group)
+        margs, mspecs = [mins] * 4, sspecs
+    else:
+        def kernel(lref, x0, x1, x2, x3, qlo, qhi, s0, s1, s2, s3, o, acc):
+            return _q8v3l_kernel(
+                lref, x0, x1, x2, x3, qlo, qhi, s0, s1, s2, s3,
+                None, None, None, None, o, acc, group=group,
+            )
+        margs, mspecs = [], []
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tn, nk),
+            in_specs=xspecs + wspecs + sspecs + mspecs,
+            out_specs=pl.BlockSpec((b, tn), lambda j, kk, lr: (0, j)),
+            scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n
+            + (k // group) * n * 4 * (2 if has_mins else 1) + b * k * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x, x, x, x,
+        q32, q32,
+        scales, scales, scales, scales,
+        *margs,
+    )
+
+
 def _densel_kernel(lref, x_ref, w_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -1125,6 +1250,10 @@ def qmatmul_layered(
             y = _q8_matmul_layered(
                 xb, layer, qt.qs, qt.scales, qt.mins, group=qt.group
             )
+        elif qt.kind == "q8v3":
+            y = _q8v3_matmul_layered(
+                xb, layer, qt.qs, qt.scales, qt.mins, group=qt.group
+            )
         elif qt.kind == "q4v3m":
             y = _q4v3_matmul_layered(
                 xb, layer, qt.qs, qt.scales, qt.scales, merged=True
@@ -1177,8 +1306,8 @@ def kernel_supported(qt: QTensor) -> bool:
     # physical N may exceed qt.n (N-padded container); metadata-only views
     # (_layer_view) carry qs=None and are never padded
     n_phys = qt.n if qt.qs is None else qt.qs.shape[-1]
-    if qt.kind in ("q4v3", "q4v3m"):
-        return True  # to_v3 only produces aligned containers (K % 2048)
+    if qt.kind in ("q4v3", "q4v3m", "q8v3"):
+        return True  # to_v3/to_q8v3 only produce aligned containers (K % 2048)
     if qt.kind == "q8":
         tk, _ = _pick_tiles(0, qt.k, n_phys)
         rows = tk // qt.group
@@ -1199,7 +1328,18 @@ def _qmatmul_local(xb: jax.Array, qt: QTensor, use_kernel: bool) -> jax.Array:
         from .qtensor import split_v3m
 
         qt = split_v3m(qt)
-    if qt.kind == "q8":
+    if qt.kind == "q8v3":
+        # the layered kernel serves the 2D container as a 1-layer stack
+        # (XLA reshape, no copy); mins ride in-kernel — skip the external
+        # rank-1 correction below
+        y = _q8v3_matmul_layered(
+            xb, 0, qt.qs[None], qt.scales[None],
+            None if qt.mins is None else qt.mins[None], group=qt.group,
+        )
+        if y.shape[-1] != qt.n:
+            y = y[..., : qt.n]
+        return y
+    elif qt.kind == "q8":
         y = _q8_matmul(xb, qt.qs, qt.scales, None, group=qt.group)
     elif qt.kind == "q4v3":
         y = _q4v3_matmul(xb, qt.qs, qt.scales)

@@ -572,6 +572,74 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
 
 
 # ---------------------------------------------------------------------------
+# q8v3: cast-free bit-decode container for 8-bit weights (kind "q8v3")
+#
+# The plain q8 kernel's int8→bf16 cast is a ~2x dequant tax (the same wall
+# benchmarks/qmm_probe.py measured for q4 before v3). An int8 value is two
+# nibbles — v = 16*(v>>4) + (v & 0xF) — so it packs into TWO v3 word sets:
+# the lo nibbles decode with the standard 0x4000 header to dl = 2 + ql/8,
+# the hi nibbles (biased +8) with a STEP-2 header 0x4200 to dh = 32 + 2*qh
+# (exponent 5 puts the nibble at the ones/twos bits). Folding the planes
+# in bf16,
+#     u0 = (dh − 50) + dl  ∈ [−16, 15.875]  — EXACT in bf16 —  and v ≡ 8·u0,
+# so  s·(x·v) − m·Σx  =  (8s)·(x·u0) − m·Σx:  ONE dot per x-plane, the same
+# effective-scale convention as q4v3 (8s), the ORIGINAL mins (no affine
+# amplification — symmetric kinds like Q8_0 need no block-sum dot at all),
+# and per-product bf16 rounding identical to the plain q8 kernel's
+# (|8·u0| = |v| ≤ 128). Storage is identical to int8 (two [K/8, N] int32
+# word sets = K*N bytes).
+
+V3_HI_HDR = 0x42004200  # step-2 header: ((w<<s) & 0x00780078) | hdr = 32+2q
+
+
+def _q8v3_words(v8: np.ndarray) -> np.ndarray:
+    """int8 values [K, N] → int32 words [K/4, N]: lo-nibble v3 word rows
+    [0, K/8), hi-nibble (biased +8) rows [K/8, K/4)."""
+    lo = (v8 & 0x0F).astype(np.uint8)
+    hi = ((v8 >> 4) + 8).astype(np.uint8) & 0x0F  # arithmetic shift: h+8 ∈ [0,15]
+    return np.concatenate([_pack_v3_words(lo), _pack_v3_words(hi)], axis=0)
+
+
+def q8v3_eligible(qt: "QTensor") -> bool:
+    return (
+        qt.kind == "q8"
+        and qt.sections == 1
+        and qt.tp_mode is None
+        and qt.group in (16, 32)
+        and qt.k % 2048 == 0
+        and qt.qs is not None
+        and np.asarray(qt.qs).ndim in (2, 3)  # not expert stacks [L, E, ...]
+    )
+
+
+def to_q8v3_stacked(qt: QTensor) -> QTensor:
+    """Repack a stacked (or 2D) 8-bit container into the cast-free q8v3
+    bit-decode container: qs int32 [L, K/4, N] (lo words | hi words),
+    scales = effective 8·s (v ≡ 8·u0, see module comment), mins carried
+    over unchanged (None for symmetric kinds — no block-sum dot needed).
+    Returns `qt` unchanged when ineligible (odd K, TP, sections)."""
+    if not q8v3_eligible(qt):
+        return qt
+    v8 = np.asarray(qt.qs).view(np.int8)
+    sdt = _v3_scale_dtype()
+    if v8.ndim == 2:
+        words = _q8v3_words(v8)
+    else:
+        words = np.stack([_q8v3_words(v8[i]) for i in range(v8.shape[0])])
+    return QTensor(
+        qs=jnp.asarray(words),
+        scales=jnp.asarray(8.0 * np.asarray(qt.scales, np.float32), sdt),
+        mins=None if qt.mins is None else jnp.asarray(
+            np.asarray(qt.mins, np.float32), sdt
+        ),
+        kind="q8v3",
+        k=qt.k,
+        n=qt.n,
+        group=qt.group,
+    )
+
+
+# ---------------------------------------------------------------------------
 # fused-MLP container (kinds "q4mlpg" / "q4mlpd")
 #
 # ops.fused_mlp runs the whole per-layer MLP — y = (act(x@Wg) * (x@Wu)) @ Wd —
@@ -743,12 +811,13 @@ def to_v3_mlp_stacked_tp(gu: "QTensor", dn: "QTensor", tp: int):
     return gu_out, dn_out
 
 
-def _dequant_v3_values(qs32: jax.Array, k: int) -> jax.Array:
+def _dequant_v3_values(qs32: jax.Array, k: int, hdr: int = 0x40004000) -> jax.Array:
     """v3 words → bf16 [K, N] of (2 + q/8) via XLA bitcast (fallback /
-    reference path; the Pallas kernel does the same with pltpu.bitcast)."""
+    reference path; the Pallas kernel does the same with pltpu.bitcast).
+    `hdr` selects the decode affine map (0x4200...: 32 + 2q, see q8v3)."""
     w = qs32  # [K/8, N] int32
     n = w.shape[-1]
-    hdr = jnp.int32(0x40004000)
+    hdr = jnp.int32(hdr)
     msk = jnp.int32(0x00780078)
     planes = []
     for s in V3_SHIFTS:
@@ -874,7 +943,7 @@ def split_v3m(qt: QTensor) -> QTensor:
 def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Full dense [K, N] dequantization (reference implementation for tests
     and the XLA fallback path)."""
-    if qt.kind in ("q4mlpg", "q4mlpd") and qt.qs.ndim != 2:
+    if qt.kind in ("q4mlpg", "q4mlpd", "q8v3") and qt.qs.ndim != 2:
         # the branches below assume a 2D per-layer slice; a stacked [L, ...]
         # container would silently reshape L into the wrong axis
         raise ValueError(
@@ -937,6 +1006,19 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         sc = grouped[:, :rps].reshape(nj * rps, h)[inv]
         mn = grouped[:, rps:].reshape(nj * rps, h)[inv]
         qt = qt.replace(scales=sc, mins=mn, kind="q4v3")
+    if qt.kind == "q8v3":
+        # u0 = (dh − 50) + dl (exact bf16; v ≡ 8·u0), scales hold 8s
+        nw = qt.k // 8
+        dl = _dequant_v3_values(qt.qs[:nw], qt.k)
+        dh = _dequant_v3_values(qt.qs[nw:], qt.k, hdr=V3_HI_HDR)
+        u0 = ((dh - jnp.bfloat16(50)) + dl).astype(jnp.float32)
+        rep = partial(jnp.repeat, repeats=qt.group, axis=0)
+        w = u0 * rep(qt.scales.astype(jnp.float32))
+        if qt.mins is not None:
+            w = w - rep(qt.mins.astype(jnp.float32))
+        if w.shape[-1] != qt.n:
+            w = w[..., : qt.n]
+        return w.astype(dtype)
     if qt.kind == "q4v3m":
         qt = split_v3m(qt)
     scales = jnp.repeat(qt.scales, qt.group, axis=0)  # [K, N]

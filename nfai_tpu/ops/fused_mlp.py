@@ -13,10 +13,11 @@ Layout contract (ops.qtensor.to_v3_mlp_stacked):
   the four ffn k-ranges {p*F/4 + [j*TFB, (j+1)*TFB)} (v3 planes are
   k-quarters);
 - the gate/up container ("q4mlpg") has its ffn columns PRE-PERMUTED into
-  exactly that per-step order, so one [K/8, 4*TFB] BlockSpec per projection
-  fetches all four ranges — 7 operand DMAs per grid step total (the
-  naturally-ordered first probe needed ~25 and lost to the two-kernel path,
-  benchmarks/qmm_fused_mlp.py);
+  per-step [gate_j | up_j] slabs, so ONE [K/8, 8*TFB] BlockSpec fetches
+  BOTH projections' four ranges (and one fetches both scale blocks) —
+  5 operand DMAs per grid step total (the naturally-ordered first probe
+  needed ~25 and lost to the two-kernel path, benchmarks/qmm_fused_mlp.py;
+  the first permuted container used separate gate/up specs, 7 DMAs);
 - the down container ("q4mlpd") keeps natural v3 words and permutes only
   its merged scale/min rows into the same per-step order.
 
@@ -75,7 +76,7 @@ def _plane(w, s):
 
 
 def _mlp_kernel(
-    lref, x_ref, gq_ref, uq_ref, gs_ref, us_ref, dq_ref, ds_ref,
+    lref, x_ref, guq_ref, gus_ref, dq_ref, ds_ref,
     o_ref, acc_ref, *, k: int, tfb: int, act: str,
 ):
     @pl.when(pl.program_id(1) == 0)
@@ -86,10 +87,11 @@ def _mlp_kernel(
     kq = k // 4  # x rows per v3 plane
     pb = kq // QBLOCK  # scale rows per plane
     kb = k // QBLOCK
+    guw = guq_ref[...]  # [K/8, 8*TFB] int32: [gate_j | up_j] slab
+    gusc = gus_ref[...]  # [2*K/32, 8*TFB] merged scales|mins, same slab
 
-    def proj(qref, sref):
-        w = qref[...]  # [K/8, 4*TFB] int32
-        sc = sref[...]  # [2*K/32, 4*TFB] merged scales|mins
+    def proj(w, sc):
+        # w [K/8, 4*TFB] int32, sc [2*K/32, 4*TFB] merged scales|mins
         acc = None
         for p, s in enumerate(_SHIFTS):
             xp = x[:, p * kq : (p + 1) * kq]
@@ -103,8 +105,9 @@ def _mlp_kernel(
             acc = d if acc is None else acc + d
         return acc  # [BT, 4*TFB] f32
 
-    g = proj(gq_ref, gs_ref)
-    u = proj(uq_ref, us_ref)
+    w4 = 4 * tfb
+    g = proj(guw[:, :w4], gusc[:, :w4])
+    u = proj(guw[:, w4:], gusc[:, w4:])
     if act == "gelu":
         a = jax.nn.gelu(g, approximate=True) * u
     else:
@@ -133,7 +136,8 @@ def _mlp_kernel(
 def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16,
                tfb=MLP_TFB):
     """x [B, K] through stacked fused-MLP containers:
-    gq [L, K/8, 2F] (q4mlpg words, ffn-permuted; gate cols [0,F), up [F,2F)),
+    gq [L, K/8, 2F] (q4mlpg words; per-step [gate_j | up_j] slabs of width
+    8*tfb — ONE BlockSpec fetches both projections' words per grid step),
     gs [L, 2K/32, 2F] merged scales|mins (same column order),
     dq [L, F/8, H] natural v3 words,
     ds [L, 2F/32, H] merged scale|min rows in per-step order.
@@ -160,14 +164,8 @@ def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16,
     grid = (nb, nj)
     in_specs = [
         pl.BlockSpec((bt, k), lambda bi, j, lr: (bi, 0)),
-        pl.BlockSpec((None, k // 8, 4 * tfb), lambda bi, j, lr: (lr[0], 0, j)),
-        pl.BlockSpec(
-            (None, k // 8, 4 * tfb), lambda bi, j, lr, nj=nj: (lr[0], 0, j + nj)
-        ),
-        pl.BlockSpec((None, 2 * kb, 4 * tfb), lambda bi, j, lr: (lr[0], 0, j)),
-        pl.BlockSpec(
-            (None, 2 * kb, 4 * tfb), lambda bi, j, lr, nj=nj: (lr[0], 0, j + nj)
-        ),
+        pl.BlockSpec((None, k // 8, 8 * tfb), lambda bi, j, lr: (lr[0], 0, j)),
+        pl.BlockSpec((None, 2 * kb, 8 * tfb), lambda bi, j, lr: (lr[0], 0, j)),
         pl.BlockSpec((None, tfb // 2, h), lambda bi, j, lr: (lr[0], j, 0)),
         pl.BlockSpec((None, tfb // 4, h), lambda bi, j, lr: (lr[0], j, 0)),
     ]
@@ -192,7 +190,7 @@ def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16,
             transcendentals=b * f,
         ),
         interpret=_interpret(),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, gq, gq, gs, gs, dq, ds)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, gq, gs, dq, ds)
     return y[:b] if pad else y
 
 
@@ -280,26 +278,32 @@ def mlp_prefill(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
     re-streaming every weight block per 128-row kernel tile — an 8k-token
     prompt would otherwise re-read the MLP weights 64x per layer.
 
-    The gate/up weight is dequantized in its PHYSICAL (ffn-permuted) column
-    order and only the [rows, F] activation is un-permuted before the down
-    projection — a weight-order gather on [K, 2F] would cost K/rows times
-    more bytes. Exactly inverse permutations (see qtensor.mlp_col_perm)."""
+    The gate/up weight is dequantized in its PHYSICAL (per-step
+    [gate_j|up_j] slab) column order and only the [rows, F] activation is
+    un-permuted before the down projection — a weight-order gather on
+    [K, 2F] would cost K/rows times more bytes. Exactly inverse
+    permutations (see qtensor.mlp_gu_col_perm)."""
     from .qtensor import dequant_qtensor, mlp_col_perm
 
     f = gu.n // 2
+    tfb = gu.tfb or MLP_TFB
     lead = x.shape[:-1]
     xb = x.reshape(-1, gu.k).astype(jnp.bfloat16)
     # physical dequant: the q4mlpg merged-scales layout matches q4v3m
     wgu = dequant_qtensor(gu.replace(kind="q4v3m"))  # [K, 2F] permuted cols
     gup = jax.lax.dot(xb, wgu, preferred_element_type=jnp.float32)
-    g, u = gup[:, :f], gup[:, f:]
+    # physical slab j = [gate cols (4*tfb) | up cols (4*tfb)]
+    rows = gup.shape[0]
+    gu3 = gup.reshape(rows, f // (4 * tfb), 2, 4 * tfb)
+    g = gu3[:, :, 0].reshape(rows, f)
+    u = gu3[:, :, 1].reshape(rows, f)
     a = (jax.nn.gelu(g, approximate=True) if act == "gelu"
          else jax.nn.silu(g)) * u
     # permuted column i holds natural ffn index perm[i] -> natural order is
     # a[:, argsort(perm)] (static permutation, computed at trace time)
     import numpy as np
 
-    inv = np.argsort(mlp_col_perm(f, gu.tfb or MLP_TFB))
+    inv = np.argsort(mlp_col_perm(f, tfb))
     a = a.astype(jnp.bfloat16)[:, inv]
     wd = dequant_qtensor(dn)  # q4mlpd dequant un-permutes rows internally
     y = jax.lax.dot(a, wd, preferred_element_type=jnp.float32)

@@ -669,6 +669,16 @@ def mlp_col_perm(f: int, tfb: int = MLP_TFB) -> np.ndarray:
     return (p * (f // 4) + j * tfb + t).reshape(-1)
 
 
+def mlp_gu_col_perm(f: int, tfb: int = MLP_TFB) -> np.ndarray:
+    """Column permutation of the fused [gate|up] (width 2F) projection:
+    grid step j's slab holds [gate cols of step j (4*tfb) | up cols of
+    step j (4*tfb)], so ONE BlockSpec of width 8*tfb fetches both
+    projections' words (and one fetches both scale blocks) — 5 operand
+    DMAs per grid step instead of 7."""
+    perm = mlp_col_perm(f, tfb).reshape(-1, 4 * tfb)  # [nj, 4*tfb]
+    return np.concatenate([perm, f + perm], axis=1).reshape(-1)
+
+
 def mlp_tfb_for(gu: "QTensor", dn: "QTensor") -> int | None:
     """Pick the fused-MLP grid-step width (ffn elements per v3 plane per
     step): the largest tfb whose per-grid-step operand blocks fit the
@@ -736,8 +746,7 @@ def to_v3_mlp_stacked(gu: "QTensor", dn: "QTensor"):
         return gu, dn
     sdt = _v3_scale_dtype()
     f = gu.n // 2
-    perm = mlp_col_perm(f, tfb)
-    perm2 = np.concatenate([perm, f + perm])  # gate block | up block
+    perm2 = mlp_gu_col_perm(f, tfb)  # per-step [gate_j | up_j] slabs
     q, sc, mn = _v3_natural(gu)
     q, sc, mn = q[:, :, perm2], sc[:, :, perm2], mn[:, :, perm2]
     words = np.stack([_pack_v3_words(q[i]) for i in range(q.shape[0])])
@@ -984,12 +993,10 @@ def dequant_qtensor(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
             axis=0,
         )
     if qt.kind == "q4mlpg":
-        # merged scales + ffn-permuted columns (see to_v3_mlp_stacked):
-        # dequantize in physical order, then un-permute the columns
-        f = qt.n // 2
-        perm = mlp_col_perm(f, qt.tfb or MLP_TFB)
-        perm2 = np.concatenate([perm, f + perm])
-        inv = np.argsort(perm2)
+        # merged scales + per-step [gate_j|up_j] column slabs (see
+        # to_v3_mlp_stacked): dequantize in physical order, then
+        # un-permute the columns
+        inv = np.argsort(mlp_gu_col_perm(qt.n // 2, qt.tfb or MLP_TFB))
         w = dequant_qtensor(split_v3m(qt.replace(kind="q4v3m")), dtype)
         return w[:, inv]
     if qt.kind == "q4mlpd":

@@ -137,6 +137,12 @@ class InferenceEngine:
 
             _qm.TP_MESH = self.mesh
         else:
+            # single-device engine: clear any mesh a previous sharded
+            # engine left in the module global, or quantized matmuls would
+            # try to shard_map weights that are not tp-marked
+            from ..ops import qmatmul as _qm
+
+            _qm.TP_MESH = None
             # param_dtype="auto" keeps supported GGUF quantizations in HBM
             # (fused dequant-matmul kernels); anything else dequantizes
             quantized = "auto" if self.config.param_dtype == "auto" else False

@@ -125,15 +125,19 @@ def main() -> int:
     dev = jax.devices()[0]
     log(f"device: {dev}, model={args.size}, batch={args.batch}, seq={args.seq}")
 
-    # synthetic weights generated on device
+    # synthetic weights generated HOST-side (numpy): the v3/fused-MLP/q8v3
+    # container packing is host numpy, so device-generated weights would be
+    # pulled back through the TPU tunnel (~80 s per 270 MB array on axon).
+    # Everything packs on the host and device_put pushes the final tree once.
+    import numpy as _np
+
     from nfai_tpu.ops.qtensor import QTensor
 
-    key = jax.random.PRNGKey(0)
-    kiter = iter(jax.random.split(key, 64))
+    nrng = _np.random.default_rng(0)
 
     def rand(*shape):
-        return (jax.random.normal(next(kiter), shape, jnp.float32) * 0.02).astype(
-            dtype
+        return jnp.asarray(
+            (nrng.standard_normal(shape, _np.float32) * 0.02), dtype
         )
 
     def weight(*shape, pad_n_to=1):
@@ -144,16 +148,11 @@ def main() -> int:
             return rand(*shape)
         lead, k, n = shape[:-2], shape[-2], shape[-1]
         np_ = n + (-n) % pad_n_to
-        scales = (
-            jax.random.uniform(next(kiter), (*lead, k // 32, np_), jnp.float32)
-            * 0.004
-        )
+        scales = nrng.random((*lead, k // 32, np_), _np.float32) * 0.004
         if args.quant == "q8_0":
-            qs = jax.random.randint(next(kiter), (*lead, k, np_), -127, 128, jnp.int8)
+            qs = nrng.integers(-127, 128, (*lead, k, np_), dtype=_np.int8)
             return QTensor(qs, scales, None, "q8", k, n)
-        qs = jax.random.randint(
-            next(kiter), (*lead, k // 2, np_), -128, 128, jnp.int32
-        ).astype(jnp.int8)
+        qs = nrng.integers(-128, 128, (*lead, k // 2, np_)).astype(_np.int8)
         mins = None if args.no_mins else scales * 8.0
         if mins is not None and args.mins_bf16:
             mins = mins.astype(jnp.bfloat16)
@@ -174,9 +173,8 @@ def main() -> int:
         # quantized expert stacks (grouped kernels); down promotes to q8
         # when its K fails the 4-bit tile constraint, mirroring load_params
         e, fm = args.experts, args.moe_ffn
-        layer_weights["router"] = (
-            jax.random.normal(next(kiter), (layers, hidden, e), jnp.float32)
-            * 0.02
+        layer_weights["router"] = jnp.asarray(
+            nrng.standard_normal((layers, hidden, e), _np.float32) * 0.02
         )
         layer_weights["w_gate_exps"] = weight(layers, e, hidden, fm)
         layer_weights["w_up_exps"] = weight(layers, e, hidden, fm)
@@ -189,12 +187,12 @@ def main() -> int:
             # promotes; synthetic builds it directly — a promote here would
             # round-trip GBs through the host tunnel)
             sc = (
-                jax.random.uniform(
-                    next(kiter), (layers, e, fm // 32, hidden), jnp.float32
-                ) * 0.004
-            ).astype(jnp.bfloat16).astype(jnp.float32)
-            qs8 = jax.random.randint(
-                next(kiter), (layers, e, fm, hidden), -127, 128, jnp.int8
+                (nrng.random((layers, e, fm // 32, hidden), _np.float32)
+                 * 0.004)
+                .astype(jnp.bfloat16).astype(_np.float32)
+            )
+            qs8 = nrng.integers(
+                -127, 128, (layers, e, fm, hidden), dtype=_np.int8
             )
             layer_weights["w_down_exps"] = QTensor(
                 qs8, sc, sc * 8.0, "q8", fm, hidden
@@ -239,6 +237,8 @@ def main() -> int:
             k: to_q8v3_stacked(v) if isinstance(v, _QT8) else v
             for k, v in params["layers"].items()
         }
+    # one push of the fully-packed tree (host numpy leaves → HBM)
+    params = jax.device_put(params)
 
     def tree_bytes(tree, fixed_scale_bytes=None):
         """Total HBM weight bytes. With `fixed_scale_bytes`, QTensor
@@ -288,7 +288,7 @@ def main() -> int:
     kvq = args.kv == "int8"
     cache = KVCache.zeros(cfg, args.batch, args.seq, dtype, quantized=kvq)
     B, T = args.batch, args.prompt
-    tokens = jax.random.randint(next(kiter), (B, T), 0, vocab, jnp.int32)
+    tokens = jnp.asarray(nrng.integers(0, vocab, (B, T)), jnp.int32)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
     last = jnp.full((B,), T - 1, jnp.int32)
 

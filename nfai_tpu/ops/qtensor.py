@@ -539,7 +539,8 @@ def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
         or qt.k % 2048
         or qt.mins is None
         or qt.qs is None
-        or np.asarray(qt.qs).ndim != 3
+        or qt.qs.ndim != 3  # metadata only — np.asarray here would pull
+        # the whole device array through the host (79 s over the TPU tunnel)
     ):
         return qt
     q, sc_eff, mn_eff = _v3_natural(qt)
@@ -608,7 +609,7 @@ def q8v3_eligible(qt: "QTensor") -> bool:
         and qt.group in (16, 32)
         and qt.k % 2048 == 0
         and qt.qs is not None
-        and np.asarray(qt.qs).ndim in (2, 3)  # not expert stacks [L, E, ...]
+        and qt.qs.ndim in (2, 3)  # not expert stacks [L, E, ...]
     )
 
 
@@ -696,12 +697,12 @@ def mlp_tfb_for(gu: "QTensor", dn: "QTensor") -> int | None:
         and gu.tp_mode is None and dn.tp_mode is None
         and gu.group == QBLOCK and dn.group == QBLOCK
         and gu.mins is not None and dn.mins is not None
-        and gu.qs is not None and np.asarray(gu.qs).ndim == 3
-        and dn.qs is not None and np.asarray(dn.qs).ndim == 3
+        and gu.qs is not None and gu.qs.ndim == 3
+        and dn.qs is not None and dn.qs.ndim == 3
         and gu.n == 2 * f and dn.k == f
         and gu.k % 1024 == 0  # scale rows per x-plane stay a multiple of 8
-        and np.asarray(gu.qs).shape[-1] == gu.n  # no N padding
-        and np.asarray(dn.qs).shape[-1] == dn.n
+        and gu.qs.shape[-1] == gu.n  # no N padding
+        and dn.qs.shape[-1] == dn.n
     )
     if not layout_ok:
         return None

@@ -41,6 +41,157 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def build_synthetic_params(
+    size: str,
+    quant: str = "q4",
+    dtype_name: str = "bfloat16",
+    vocab_override: int = 0,
+    experts: int = 0,
+    experts_used: int = 8,
+    moe_ffn: int = 768,
+    no_mins: bool = False,
+    mins_bf16: bool = False,
+    scales_bf16: bool = False,
+    no_v3: bool = False,
+    seed: int = 0,
+    context_length: int = 2048,
+):
+    """Synthetic Llama-3.2-shaped weights, built HOST-side (numpy) and
+    packed into the same containers `models.llama.load_params` produces
+    (v3 / q8v3 / fused-MLP), then device_put ONCE. Shared by bench.py and
+    benchmarks/profile_decode.py so profiles measure the shipped layout.
+    Returns (cfg, params_on_device)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from nfai_tpu.models.llama import LlamaConfig
+    from nfai_tpu.ops.qtensor import QTensor
+    from nfai_tpu.ops.rope import compute_inv_freq
+
+    spec = SIZES[size]
+    hidden, layers, heads, kv_heads, ffn, vocab = spec[:6]
+    if vocab_override:
+        vocab = vocab_override
+    head_dim = spec[6] if len(spec) > 6 else hidden // heads
+    moe = experts > 0
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden, n_layers=layers, n_heads=heads,
+        n_kv_heads=kv_heads, head_dim=head_dim, ffn_dim=ffn,
+        rope_base=500000.0, context_length=context_length,
+        n_experts=experts if moe else 0,
+        n_experts_used=experts_used if moe else 0,
+        moe_ffn_dim=moe_ffn if moe else 0,
+    )
+    dtype = jnp.dtype(dtype_name)
+    nrng = _np.random.default_rng(seed)
+
+    def rand(*shape):
+        return jnp.asarray(
+            (nrng.standard_normal(shape, _np.float32) * 0.02), dtype
+        )
+
+    def weight(*shape, pad_n_to=1):
+        """(..., K, N) weight — dense or synthetic-quantized per `quant`.
+        `pad_n_to` N-pads the quantized container (logical n preserved) the
+        way load_params pads the LM head for wide-lane kernel tiles."""
+        if quant == "none":
+            return rand(*shape)
+        lead, k, n = shape[:-2], shape[-2], shape[-1]
+        np_ = n + (-n) % pad_n_to
+        scales = nrng.random((*lead, k // 32, np_), _np.float32) * 0.004
+        if quant == "q8_0":
+            qs = nrng.integers(-127, 128, (*lead, k, np_), dtype=_np.int8)
+            return QTensor(qs, scales, None, "q8", k, n)
+        qs = nrng.integers(-128, 128, (*lead, k // 2, np_), dtype=_np.int8)
+        mins = None if no_mins else scales * 8.0
+        if mins is not None and mins_bf16:
+            mins = mins.astype(jnp.bfloat16)
+        if scales_bf16:
+            scales = scales.astype(jnp.bfloat16)
+            mins = mins.astype(jnp.bfloat16) if mins is not None else None
+        return QTensor(qs, scales, mins, "q4", k, n)
+
+    qd, kvd = heads * head_dim, kv_heads * head_dim
+    layer_weights = {
+        "attn_norm": jnp.ones((layers, hidden), jnp.float32),
+        # fused projections (one kernel launch each, as load_params builds)
+        "wqkv": weight(layers, hidden, qd + 2 * kvd),
+        "wo": weight(layers, qd, hidden),
+        "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
+    }
+    if moe:
+        # quantized expert stacks (grouped kernels); down promotes to q8
+        # when its K fails the 4-bit tile constraint, mirroring load_params
+        e, fm = experts, moe_ffn
+        layer_weights["router"] = jnp.asarray(
+            nrng.standard_normal((layers, hidden, e), _np.float32) * 0.02
+        )
+        layer_weights["w_gate_exps"] = weight(layers, e, hidden, fm)
+        layer_weights["w_up_exps"] = weight(layers, e, hidden, fm)
+        from nfai_tpu.ops.qmatmul import grouped_supported
+        from nfai_tpu.ops.qtensor import QTensor as _QTm
+
+        down_meta = _QTm(None, None, None, "q4", fm, hidden)
+        if quant == "q4" and not grouped_supported(down_meta):
+            # small-K down experts take the q8 container (load_params
+            # promotes; synthetic builds it directly — a promote here would
+            # round-trip GBs through the host tunnel)
+            sc = (
+                (nrng.random((layers, e, fm // 32, hidden), _np.float32)
+                 * 0.004)
+                .astype(jnp.bfloat16).astype(_np.float32)
+            )
+            qs8 = nrng.integers(
+                -127, 128, (layers, e, fm, hidden), dtype=_np.int8
+            )
+            layer_weights["w_down_exps"] = QTensor(
+                qs8, sc, sc * 8.0, "q8", fm, hidden
+            )
+        else:
+            layer_weights["w_down_exps"] = weight(layers, e, fm, hidden)
+    else:
+        layer_weights["w_gate_up"] = weight(layers, hidden, 2 * ffn)
+        layer_weights["w_down"] = weight(layers, ffn, hidden)
+    params = {
+        "embed": rand(vocab, hidden),
+        "layers": layer_weights,
+        "final_norm": jnp.ones(hidden, jnp.float32),
+        "lm_head": weight(hidden, vocab, pad_n_to=512),
+        "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
+    }
+    if quant == "q4" and not scales_bf16 and not no_v3:
+        # mirror load_params: all eligible 4-bit weights repack to the
+        # cast-free v3 bit-decode container (ops.qtensor)
+        from nfai_tpu.ops.qtensor import (
+            QTensor as _QT, to_v3, to_v3_mlp_stacked, to_v3_stacked,
+        )
+
+        params["lm_head"] = to_v3(params["lm_head"])
+        if not moe and os.environ.get("NFAI_FUSED_MLP", "1") != "0":
+            params["layers"]["w_gate_up"], params["layers"]["w_down"] = (
+                to_v3_mlp_stacked(
+                    params["layers"]["w_gate_up"], params["layers"]["w_down"]
+                )
+            )
+        params["layers"] = {
+            k: to_v3_stacked(v) if isinstance(v, _QT) else v
+            for k, v in params["layers"].items()
+        }
+    if quant == "q8_0" and not no_v3:
+        # mirror load_params: eligible 8-bit weights repack to the
+        # cast-free q8v3 bit-decode container (ops.qtensor)
+        from nfai_tpu.ops.qtensor import QTensor as _QT8, to_q8v3_stacked
+
+        params["lm_head"] = to_q8v3_stacked(params["lm_head"])
+        params["layers"] = {
+            k: to_q8v3_stacked(v) if isinstance(v, _QT8) else v
+            for k, v in params["layers"].items()
+        }
+    # one push of the fully-packed tree (host numpy leaves → HBM)
+    return cfg, jax.device_put(params)
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="1b", choices=SIZES)
@@ -107,138 +258,33 @@ def main() -> int:
     from nfai_tpu.models.llama import LlamaConfig, decode_loop, prefill_step
     from nfai_tpu.ops.rope import compute_inv_freq
 
-    spec = SIZES[args.size]
-    hidden, layers, heads, kv_heads, ffn, vocab = spec[:6]
-    if args.vocab:
-        vocab = args.vocab
-    head_dim = spec[6] if len(spec) > 6 else hidden // heads
-    moe = args.experts > 0
-    cfg = LlamaConfig(
-        vocab_size=vocab, hidden_size=hidden, n_layers=layers, n_heads=heads,
-        n_kv_heads=kv_heads, head_dim=head_dim, ffn_dim=ffn,
-        rope_base=500000.0, context_length=max(args.seq, 2048),
-        n_experts=args.experts if moe else 0,
-        n_experts_used=args.experts_used if moe else 0,
-        moe_ffn_dim=args.moe_ffn if moe else 0,
-    )
-    dtype = jnp.dtype(args.dtype)
-    dev = jax.devices()[0]
-    log(f"device: {dev}, model={args.size}, batch={args.batch}, seq={args.seq}")
-
     # synthetic weights generated HOST-side (numpy): the v3/fused-MLP/q8v3
     # container packing is host numpy, so device-generated weights would be
     # pulled back through the TPU tunnel (~80 s per 270 MB array on axon).
-    # Everything packs on the host and device_put pushes the final tree once.
+    # The win is avoiding device->host pulls; dense leaves device-put
+    # individually via jnp.asarray, packed QTensor leaves ride the final
+    # device_put of the tree. (Builder shared with benchmarks/profile_decode.)
     import numpy as _np
 
     from nfai_tpu.ops.qtensor import QTensor
 
-    nrng = _np.random.default_rng(0)
-
-    def rand(*shape):
-        return jnp.asarray(
-            (nrng.standard_normal(shape, _np.float32) * 0.02), dtype
-        )
-
-    def weight(*shape, pad_n_to=1):
-        """(..., K, N) weight — dense or synthetic-quantized per --quant.
-        `pad_n_to` N-pads the quantized container (logical n preserved) the
-        way load_params pads the LM head for wide-lane kernel tiles."""
-        if args.quant == "none":
-            return rand(*shape)
-        lead, k, n = shape[:-2], shape[-2], shape[-1]
-        np_ = n + (-n) % pad_n_to
-        scales = nrng.random((*lead, k // 32, np_), _np.float32) * 0.004
-        if args.quant == "q8_0":
-            qs = nrng.integers(-127, 128, (*lead, k, np_), dtype=_np.int8)
-            return QTensor(qs, scales, None, "q8", k, n)
-        qs = nrng.integers(-128, 128, (*lead, k // 2, np_)).astype(_np.int8)
-        mins = None if args.no_mins else scales * 8.0
-        if mins is not None and args.mins_bf16:
-            mins = mins.astype(jnp.bfloat16)
-        if args.scales_bf16:
-            scales = scales.astype(jnp.bfloat16)
-            mins = mins.astype(jnp.bfloat16) if mins is not None else None
-        return QTensor(qs, scales, mins, "q4", k, n)
-
-    qd, kvd = heads * head_dim, kv_heads * head_dim
-    layer_weights = {
-        "attn_norm": jnp.ones((layers, hidden), jnp.float32),
-        # fused projections (one kernel launch each, as load_params builds)
-        "wqkv": weight(layers, hidden, qd + 2 * kvd),
-        "wo": weight(layers, qd, hidden),
-        "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
-    }
-    if moe:
-        # quantized expert stacks (grouped kernels); down promotes to q8
-        # when its K fails the 4-bit tile constraint, mirroring load_params
-        e, fm = args.experts, args.moe_ffn
-        layer_weights["router"] = jnp.asarray(
-            nrng.standard_normal((layers, hidden, e), _np.float32) * 0.02
-        )
-        layer_weights["w_gate_exps"] = weight(layers, e, hidden, fm)
-        layer_weights["w_up_exps"] = weight(layers, e, hidden, fm)
-        from nfai_tpu.ops.qmatmul import grouped_supported
-        from nfai_tpu.ops.qtensor import QTensor as _QTm
-
-        down_meta = _QTm(None, None, None, "q4", fm, hidden)
-        if args.quant == "q4" and not grouped_supported(down_meta):
-            # small-K down experts take the q8 container (load_params
-            # promotes; synthetic builds it directly — a promote here would
-            # round-trip GBs through the host tunnel)
-            sc = (
-                (nrng.random((layers, e, fm // 32, hidden), _np.float32)
-                 * 0.004)
-                .astype(jnp.bfloat16).astype(_np.float32)
-            )
-            qs8 = nrng.integers(
-                -127, 128, (layers, e, fm, hidden), dtype=_np.int8
-            )
-            layer_weights["w_down_exps"] = QTensor(
-                qs8, sc, sc * 8.0, "q8", fm, hidden
-            )
-        else:
-            layer_weights["w_down_exps"] = weight(layers, e, fm, hidden)
-    else:
-        layer_weights["w_gate_up"] = weight(layers, hidden, 2 * ffn)
-        layer_weights["w_down"] = weight(layers, ffn, hidden)
-    params = {
-        "embed": rand(vocab, hidden),
-        "layers": layer_weights,
-        "final_norm": jnp.ones(hidden, jnp.float32),
-        "lm_head": weight(hidden, vocab, pad_n_to=512),
-        "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
-    }
-    if args.quant == "q4" and not args.scales_bf16 and not args.no_v3:
-        # mirror load_params: all eligible 4-bit weights repack to the
-        # cast-free v3 bit-decode container (ops.qtensor)
-        from nfai_tpu.ops.qtensor import (
-            QTensor as _QT, to_v3, to_v3_mlp_stacked, to_v3_stacked,
-        )
-
-        params["lm_head"] = to_v3(params["lm_head"])
-        if not moe and os.environ.get("NFAI_FUSED_MLP", "1") != "0":
-            params["layers"]["w_gate_up"], params["layers"]["w_down"] = (
-                to_v3_mlp_stacked(
-                    params["layers"]["w_gate_up"], params["layers"]["w_down"]
-                )
-            )
-        params["layers"] = {
-            k: to_v3_stacked(v) if isinstance(v, _QT) else v
-            for k, v in params["layers"].items()
-        }
-    if args.quant == "q8_0" and not args.no_v3:
-        # mirror load_params: eligible 8-bit weights repack to the
-        # cast-free q8v3 bit-decode container (ops.qtensor)
-        from nfai_tpu.ops.qtensor import QTensor as _QT8, to_q8v3_stacked
-
-        params["lm_head"] = to_q8v3_stacked(params["lm_head"])
-        params["layers"] = {
-            k: to_q8v3_stacked(v) if isinstance(v, _QT8) else v
-            for k, v in params["layers"].items()
-        }
-    # one push of the fully-packed tree (host numpy leaves → HBM)
-    params = jax.device_put(params)
+    cfg, params = build_synthetic_params(
+        args.size, quant=args.quant, dtype_name=args.dtype,
+        vocab_override=args.vocab, experts=args.experts,
+        experts_used=args.experts_used, moe_ffn=args.moe_ffn,
+        no_mins=args.no_mins, mins_bf16=args.mins_bf16,
+        scales_bf16=args.scales_bf16, no_v3=args.no_v3,
+        context_length=max(args.seq, 2048),
+    )
+    hidden, layers, heads, kv_heads, ffn = (
+        cfg.hidden_size, cfg.n_layers, cfg.n_heads, cfg.n_kv_heads,
+        cfg.ffn_dim,
+    )
+    vocab, head_dim, moe = cfg.vocab_size, cfg.head_dim, args.experts > 0
+    dtype = jnp.dtype(args.dtype)
+    nrng = _np.random.default_rng(1234)  # token draws only
+    dev = jax.devices()[0]
+    log(f"device: {dev}, model={args.size}, batch={args.batch}, seq={args.seq}")
 
     def tree_bytes(tree, fixed_scale_bytes=None):
         """Total HBM weight bytes. With `fixed_scale_bytes`, QTensor

@@ -22,79 +22,19 @@ import numpy as np
 
 
 def build_state(size, quant, batch, seq, prompt):
-    """Same synthetic-model construction as bench.py."""
+    """Synthetic-model construction shared with bench.py — host-side numpy
+    packing + one device_put, so the profile measures the SHIPPED container
+    layout (v3/q8v3/fused-MLP, bf16 scales default) and 8B-class builds
+    don't round-trip GBs through the TPU tunnel."""
     import bench as benchmod
 
     from nfai_tpu.models import KVCache
-    from nfai_tpu.models.llama import LlamaConfig
-    from nfai_tpu.ops.qtensor import QTensor
-    from nfai_tpu.ops.rope import compute_inv_freq
 
-    hidden, layers, heads, kv_heads, ffn, vocab = benchmod.SIZES[size]
-    head_dim = hidden // heads
-    cfg = LlamaConfig(
-        vocab_size=vocab, hidden_size=hidden, n_layers=layers, n_heads=heads,
-        n_kv_heads=kv_heads, head_dim=head_dim, ffn_dim=ffn,
-        rope_base=500000.0, context_length=max(seq, 2048),
+    cfg, params = benchmod.build_synthetic_params(
+        size, quant=quant, context_length=max(seq, 2048)
     )
-    dtype = jnp.bfloat16
-    key = jax.random.PRNGKey(0)
-    kiter = iter(jax.random.split(key, 64))
-
-    def rand(*shape):
-        return (jax.random.normal(next(kiter), shape, jnp.float32) * 0.02).astype(dtype)
-
-    def weight(*shape, pad_n_to=1):
-        if quant == "none":
-            return rand(*shape)
-        lead, k, n = shape[:-2], shape[-2], shape[-1]
-        np_ = n + (-n) % pad_n_to
-        scales = (
-            jax.random.uniform(next(kiter), (*lead, k // 32, np_), jnp.float32) * 0.004
-        )
-        if quant == "q8_0":
-            qs = jax.random.randint(next(kiter), (*lead, k, np_), -127, 128, jnp.int8)
-            return QTensor(qs, scales, None, "q8", k, n)
-        qs = jax.random.randint(
-            next(kiter), (*lead, k // 2, np_), -128, 128, jnp.int32
-        ).astype(jnp.int8)
-        mins = scales * 8.0
-        return QTensor(qs, scales, mins, "q4", k, n)
-
-    qd, kvd = heads * head_dim, kv_heads * head_dim
-    params = {
-        "embed": rand(vocab, hidden),
-        "layers": {
-            "attn_norm": jnp.ones((layers, hidden), jnp.float32),
-            "wqkv": weight(layers, hidden, qd + 2 * kvd),
-            "wo": weight(layers, qd, hidden),
-            "ffn_norm": jnp.ones((layers, hidden), jnp.float32),
-            "w_gate_up": weight(layers, hidden, 2 * ffn),
-            "w_down": weight(layers, ffn, hidden),
-        },
-        "final_norm": jnp.ones(hidden, jnp.float32),
-        "lm_head": weight(hidden, vocab, pad_n_to=512),
-        "inv_freq": jnp.asarray(compute_inv_freq(head_dim, cfg.rope_base)),
-    }
-    if quant == "q4":
-        from nfai_tpu.ops.qtensor import (
-            QTensor as _QT, to_v3, to_v3_mlp_stacked, to_v3_stacked,
-        )
-
-        # mirror load_params: v3 bit-decode containers everywhere eligible
-        params["lm_head"] = to_v3(params["lm_head"])
-        if os.environ.get("NFAI_FUSED_MLP", "1") != "0":
-            params["layers"]["w_gate_up"], params["layers"]["w_down"] = (
-                to_v3_mlp_stacked(
-                    params["layers"]["w_gate_up"], params["layers"]["w_down"]
-                )
-            )
-        params["layers"] = {
-            kk: to_v3_stacked(vv) if isinstance(vv, _QT) else vv
-            for kk, vv in params["layers"].items()
-        }
-    cache = KVCache.zeros(cfg, batch, seq, dtype)
-    return cfg, params, cache, vocab
+    cache = KVCache.zeros(cfg, batch, seq, jnp.bfloat16)
+    return cfg, params, cache, cfg.vocab_size
 
 
 def parse_xplane(logdir):

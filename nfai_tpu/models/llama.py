@@ -606,7 +606,7 @@ def load_params(
         s = to_v3_stacked(s)
         if os.environ.get("NFAI_Q8V3", "1") != "0" and getattr(
             s, "qs", None
-        ) is not None and np.asarray(s.qs).ndim == 3:
+        ) is not None and s.qs.ndim == 3:
             s = to_q8v3_stacked(s)
         return s
 

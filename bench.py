@@ -230,6 +230,8 @@ def main() -> int:
                    help="per-expert ffn dim (qwen3-30B-A3B: 768)")
     p.add_argument("--hbm-gbps", type=float, default=819.0,
                    help="chip HBM bandwidth for the roofline (v5e: 819)")
+    p.add_argument("--peak-tflops", type=float, default=197.0,
+                   help="chip bf16 matmul peak for the prefill MFU (v5e: 197)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--fill-pos", type=int, default=0,
                    help="start decode at this cache position (implies "
@@ -346,6 +348,7 @@ def main() -> int:
     # -- prefill / TTFT ----------------------------------------------------
     if args.decode_only:
         logits = jnp.zeros((B, vocab), jnp.float32)
+        ttft = prefill_mfu = None
         log("prefill skipped (--decode-only)")
     else:
         t0 = time.perf_counter()
@@ -360,7 +363,25 @@ def main() -> int:
         sync(logits)
         ttft = time.perf_counter() - t0
         cache = cache2
-        log(f"prefill({B}x{T}): first {compile_ttft:.2f}s (compile), warm {ttft*1e3:.1f} ms")
+        # prefill MFU: prefill is compute-bound, so the honest denominator
+        # is the chip's bf16 matmul peak. FLOPs = 2·tokens·active-params for
+        # every matmul (dequant decode work is not counted — it is overhead
+        # the metric should punish) + the causal attention score/value dots.
+        qd_, kvd_ = heads * head_dim, kv_heads * head_dim
+        mm_per_tok = 2 * (
+            layers * (hidden * (qd_ + 2 * kvd_) + qd_ * hidden
+                      + (hidden * 2 * ffn + ffn * hidden
+                         if not moe else
+                         hidden * cfg.n_experts  # router
+                         + args.experts_used * 3 * hidden * args.moe_ffn))
+            + hidden * vocab
+        )
+        attn_flops = layers * 2 * 2 * B * (T * (T + 1) / 2) * qd_
+        prefill_flops = mm_per_tok * B * T + attn_flops
+        prefill_mfu = prefill_flops / ttft / (args.peak_tflops * 1e12)
+        log(f"prefill({B}x{T}): first {compile_ttft:.2f}s (compile), "
+            f"warm {ttft*1e3:.1f} ms, MFU {prefill_mfu:.3f} "
+            f"({prefill_flops/1e9:.1f} GFLOP @ peak {args.peak_tflops} TF)")
 
     # -- decode ------------------------------------------------------------
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -402,29 +423,43 @@ def main() -> int:
     # (bf16 scales) raise the ratio like any other speedup instead of raising
     # the roofline against themselves. eff_actual_bytes is the honest
     # "fraction of achievable bandwidth" number for the bytes really moved.
-    mean_ctx = T + args.chunk + args.decode_tokens / 2
+    # mean context length actually read by decode attention: long-context
+    # runs (--fill-pos) start deep in the cache, so the KV term must use the
+    # true start position — with the old T-based denominator a 4k-context
+    # run was graded against a 128-token cache read, hiding any attention
+    # inefficiency at long S (VERDICT r3 weak-5).
+    mean_ctx = start_pos + args.chunk + args.decode_tokens / 2
     kv_bytes_step = layers * 2 * mean_ctx * kv_heads * head_dim * dtype.itemsize * B
     if args.kv == "int8":
         kv_bytes_step = kv_bytes_step // dtype.itemsize  # int8 payload
         kv_bytes_step += layers * 2 * mean_ctx * kv_heads * 4 * B  # f32 scales
     roofline_tok_s = args.hbm_gbps * 1e9 / (weight_bytes_fixed + kv_bytes_step) * B
     roofline_actual = args.hbm_gbps * 1e9 / (weight_bytes + kv_bytes_step) * B
+    kv_frac = kv_bytes_step / (weight_bytes + kv_bytes_step)
     log(
         f"decode: {tok_s:.1f} tok/s total ({tok_s/args.batch:.1f}/seq) | "
         f"roofline(fixed) {roofline_tok_s:.0f} tok/s | eff {tok_s/roofline_tok_s:.2f} "
-        f"(actual-bytes {tok_s/roofline_actual:.2f})"
+        f"(actual-bytes {tok_s/roofline_actual:.2f}, "
+        f"kv reads {kv_frac:.0%} of step bytes @ mean ctx {mean_ctx:.0f})"
     )
 
     tag = args.dtype if args.quant == "none" else args.quant
     if moe:
         tag += f"_moe{args.experts}x{args.moe_ffn}t{args.experts_used}"
-    print(json.dumps({
+    out = {
         "metric": f"decode_tokens_per_sec_chip_llama32_{args.size}_{tag}_b{args.batch}",
         "value": round(tok_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tok_s / roofline_tok_s, 4),
         "eff_actual_bytes": round(tok_s / roofline_actual, 4),
-    }))
+    }
+    if ttft is not None:
+        out["ttft_ms"] = round(ttft * 1e3, 1)
+        out["prefill_mfu"] = round(prefill_mfu, 4)
+    if args.fill_pos:
+        out["mean_ctx"] = int(mean_ctx)
+        out["kv_read_fraction"] = round(kv_frac, 4)
+    print(json.dumps(out))
     return 0
 
 

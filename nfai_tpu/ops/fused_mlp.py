@@ -27,6 +27,7 @@ trick as ops.qmatmul's layered kernels).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +74,69 @@ def _pick_bt(b: int, k: int, h: int, wbytes: int) -> int | None:
 def _plane(w, s):
     sh = (w << s) if s > 0 else (w >> -s)
     return pltpu.bitcast((sh & jnp.int32(_MSK)) | jnp.int32(_HDR), jnp.bfloat16)
+
+
+def _mlp_kernel_v2(
+    lref, x_ref, guq_ref, gus_ref, dq_ref, ds_ref,
+    o_ref, acc_ref, bs_ref, *, k: int, tfb: int, act: str,
+):
+    """Combined-slab variant of `_mlp_kernel`: gate and up are ONE set of
+    4 plane dots over the full [K/8, 8·TFB] slab (the per-step [gate|up]
+    column layout makes the split a free output slice), and the gate/up
+    activation block-sums — loop-invariant across the ffn grid axis — are
+    computed once at j==0 into scratch. 36 → 20 MXU dot launches per grid
+    step with identical numerics; wins when the kernel is dot-launch-bound
+    rather than VPU/DMA-bound (A/B: NFAI_MLP_V2)."""
+    x = x_ref[...].astype(jnp.bfloat16)  # [BT, K]
+    kq = k // 4  # x rows per v3 plane
+    pb = kq // QBLOCK  # scale rows per plane
+    kb = k // QBLOCK
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        # per-plane activation block-sums, hoisted (j-invariant)
+        bs_ref[...] = _block_sums(x, QBLOCK)  # [BT, K/32]
+
+    guw = guq_ref[...]  # [K/8, 8*TFB] int32: [gate_j | up_j] slab
+    gusc = gus_ref[...]  # [2*K/32, 8*TFB] merged scales|mins, same slab
+
+    gu = None
+    for p, s in enumerate(_SHIFTS):
+        xp = x[:, p * kq : (p + 1) * kq]
+        wp = _scaled_deq(_plane(guw, s), gusc[p * pb : (p + 1) * pb], QBLOCK)
+        d = jax.lax.dot(xp, wp, preferred_element_type=jnp.float32)
+        d -= jax.lax.dot(
+            bs_ref[:, p * pb : (p + 1) * pb],
+            gusc[kb + p * pb : kb + (p + 1) * pb].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        gu = d if gu is None else gu + d  # [BT, 8*TFB]
+
+    w4 = 4 * tfb
+    g, u = gu[:, :w4], gu[:, w4:]
+    if act == "gelu":
+        a = jax.nn.gelu(g, approximate=True) * u
+    else:
+        a = jax.nn.silu(g) * u
+    a = a.astype(jnp.bfloat16)  # [BT, 4*TFB]
+
+    wd = dq_ref[...]  # [TFB/2, H] int32
+    ds = ds_ref[...]  # [2*TFB/8, H] merged scale|min rows (per-step order)
+    fpb = tfb // QBLOCK  # scale rows per down plane
+    for p, s in enumerate(_SHIFTS):
+        ap = a[:, p * tfb : (p + 1) * tfb]
+        wp = _scaled_deq(_plane(wd, s), ds[p * fpb : (p + 1) * fpb], QBLOCK)
+        acc_ref[...] += jax.lax.dot(ap, wp, preferred_element_type=jnp.float32)
+        acc_ref[...] -= jax.lax.dot(
+            _block_sums(ap, QBLOCK),
+            ds[(4 + p) * fpb : (5 + p) * fpb].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
 def _mlp_kernel(
@@ -132,9 +196,10 @@ def _mlp_kernel(
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("act", "out_dtype", "tfb"))
+@functools.partial(jax.jit,
+                   static_argnames=("act", "out_dtype", "tfb", "v2"))
 def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16,
-               tfb=MLP_TFB):
+               tfb=MLP_TFB, v2=False):
     """x [B, K] through stacked fused-MLP containers:
     gq [L, K/8, 2F] (q4mlpg words; per-step [gate_j | up_j] slabs of width
     8*tfb — ONE BlockSpec fetches both projections' words per grid step),
@@ -169,15 +234,23 @@ def _fused_mlp(x, layer, gq, gs, dq, ds, act="silu", out_dtype=jnp.bfloat16,
         pl.BlockSpec((None, tfb // 2, h), lambda bi, j, lr: (lr[0], j, 0)),
         pl.BlockSpec((None, tfb // 4, h), lambda bi, j, lr: (lr[0], j, 0)),
     ]
+    # combined-slab kernel (see _mlp_kernel_v2): one dot set over the full
+    # [gate|up] slab + hoisted gate/up block-sums
+    kernel = functools.partial(
+        _mlp_kernel_v2 if v2 else _mlp_kernel, k=k, tfb=tfb, act=act
+    )
+    scratch = [pltpu.VMEM((bt, h), jnp.float32)]
+    if v2:
+        scratch.append(pltpu.VMEM((bt, kb), jnp.float32))
     y = pl.pallas_call(
-        functools.partial(_mlp_kernel, k=k, tfb=tfb, act=act),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((x.shape[0], h), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((bt, h), lambda bi, j, lr: (bi, 0)),
-            scratch_shapes=[pltpu.VMEM((bt, h), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -202,7 +275,8 @@ def fused_mlp_layered(
     lead = x.shape[:-1]
     xb = x.reshape(-1, gu.k)
     y = _fused_mlp(xb, layer, gu.qs, gu.scales, dn.qs, dn.scales, act=act,
-                   tfb=gu.tfb or MLP_TFB)
+                   tfb=gu.tfb or MLP_TFB,
+                   v2=os.environ.get("NFAI_MLP_V2", "0") != "0")
     return y.reshape(*lead, dn.n).astype(x.dtype)
 
 

@@ -341,6 +341,10 @@ def _pick_v3_tiles(b: int, nw: int, n: int, wmul: int = 1) -> tuple[int, int]:
     gets the wide tiles; prefill (b = batch·chunk rows) steps down —
     the decode-sized (256, 1024) tile at b=1024 measured 18.5 MB scoped
     and failed to compile."""
+    if os.environ.get("NFAI_V3_TILES"):  # pragma: no cover - probe knob
+        tw, tn = (int(t) for t in os.environ["NFAI_V3_TILES"].split(","))
+        if nw % tw == 0 and n % tn == 0:
+            return tw, tn
     budget = 12 << 20
     nprefs = (1024, 512, 256, 128) if n < 65536 else (512, 256, 128)
     wprefs = (256, 128)

@@ -130,8 +130,11 @@ def llama_param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
             "post_ffw_norm": s(None, None),
             # MoE (qwen3moe): router is tiny -> replicated; expert stacks
             # [L, E, K, N] shard the ffn dim (N for gate/up, K for down) so
-            # every chip holds a slice of every expert (EP sharding over a
-            # dedicated expert axis is a separate mesh layout)
+            # every chip holds a slice of every expert. Expert-parallel
+            # sharding (E axis over the mesh) is the rehearsed alternative:
+            # parallel.expert_parallel.expert_shardings + moe_ffn_ep prove
+            # the E-shards are standalone containers for the unchanged
+            # grouped kernels (tests/test_expert_parallel.py)
             "router": s(None, None, None),
             "w_gate_exps": wrap_exps(
                 "w_gate_exps", s(None, None, None, TP_AXIS)

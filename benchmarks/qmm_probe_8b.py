@@ -44,8 +44,11 @@ def sync(v):
     return np.asarray(jnp.sum(v.astype(jnp.float32)))
 
 
-def time_chain(fn, x, m_small=8, m_big=24, reps=5):
-    """min-of-reps (big - small) scan timing -> seconds per iteration."""
+def time_chain(fn, x, m_small=64, m_big=320, reps=5):
+    """min-of-reps (big - small) scan timing -> seconds per iteration.
+    The delta must dwarf the ~ms-scale tunnel dispatch noise: 256 extra
+    iterations of a >=100 us op gives a >=25 ms delta (the first probe run
+    used 16 extra iterations and returned negative numbers)."""
     fn(x, m_small), fn(x, m_big)  # compile
     t1 = min(
         (lambda t0: (sync(fn(x, m_small)), time.perf_counter() - t0)[1])(
@@ -68,6 +71,7 @@ def main():
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--skip-mlp", action="store_true")
     ap.add_argument("--skip-head", action="store_true")
+    ap.add_argument("--skip-anatomy", action="store_true")
     args = ap.parse_args()
     print("device:", jax.devices()[0], flush=True)
 
@@ -150,8 +154,7 @@ def main():
             c, _ = jax.lax.scan(body, x0, jnp.arange(m, dtype=jnp.int32))
             return c
 
-        for tiles in ("default", "256,512", "512,512", "512,1024",
-                      "256,1024", "128,512"):
+        for tiles in ("default", "512,512"):
             if tiles == "default":
                 os.environ.pop("NFAI_V3_TILES", None)
             else:
@@ -168,6 +171,140 @@ def main():
             print(f"lm_head tiles {tiles:>9}: {per:7.1f} us  "
                   f"ideal {ideal:6.1f}  ({per/ideal:4.2f}x)", flush=True)
         os.environ.pop("NFAI_V3_TILES", None)
+
+        if not args.skip_anatomy:
+            _anatomy(x, headv3, ideal)
+
+
+def _anatomy(x, headv3, ideal):
+    """Kernel-anatomy timing at the lm_head shape: which VPU term makes the
+    v3 kernel ~1.7x its DMA ideal? Variants (timing-only; wrong numerics for
+    all but `full`):
+      full      — the shipped decode (4 plane decodes + scale mult + 4 dots)
+      noscale   — skip the per-element scale multiply
+      oneplane  — decode plane 0 only, reuse it for all 4 dots (saves 9 of
+                  12 decode ops; DMA, dots, scale mults unchanged)
+      floor     — oneplane + noscale (DMA + minimal VPU + dots)
+    full-noscale = scale-mult cost; full-oneplane = 3/4 decode cost;
+    floor vs ideal = everything else (DMA shortfall + dot latency).
+    """
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nfai_tpu.ops.qmatmul import _scaled_deq
+
+    b, k = x.shape
+    q32, scales = headv3.qs, headv3.scales
+    n = q32.shape[1]
+    nw = k // 8
+    tw, tn = 512, 512
+    nk = nw // tw
+    tkp = 2 * tw
+    kb = tkp // 32
+
+    def kernel(x0, x1, x2, x3, q32_ref, s0, s1, s2, s3, o_ref, acc_ref,
+               *, mode):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        w = q32_ref[...]
+        hdr = jnp.int32(0x40004000)
+        msk = jnp.int32(0x00780078)
+
+        def plane(shifted):
+            return pltpu.bitcast((shifted & msk) | hdr, jnp.bfloat16)
+
+        if mode in ("oneplane", "floor"):
+            ws = [plane(w << 3)] * 4
+        else:
+            ws = [plane(w << 3), plane(w >> 5), plane(w >> 1), plane(w >> 9)]
+        for xr, wr, sr in zip((x0, x1, x2, x3), ws, (s0, s1, s2, s3)):
+            if mode in ("noscale", "floor"):
+                wsc = wr
+            elif mode == "rowscale":
+                # same mult count, NO sublane regroup: is the reshape the
+                # real cost, or the multiply itself?
+                wsc = wr * sr[0:1, :].astype(jnp.bfloat16)
+            elif mode == "repeat":
+                # one scale row per 32 weight rows, expanded with
+                # pltpu.repeat instead of reshape-broadcast-reshape
+                wsc = wr * pltpu.repeat(
+                    sr[...].astype(jnp.bfloat16), 32, axis=0
+                )
+            elif mode == "scalef32":
+                # multiply in f32 after upcast (2 ops/el but maybe better
+                # ALU packing story)
+                wsc = (wr.astype(jnp.float32)
+                       * sr[0:1, :].astype(jnp.float32)).astype(jnp.bfloat16)
+            else:
+                wsc = _scaled_deq(wr, sr[...], 32)
+            acc_ref[...] += jax.lax.dot(
+                xr[...].astype(jnp.bfloat16), wsc,
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def build(mode):
+        xspecs = [
+            pl.BlockSpec((b, tkp), lambda j, kk, p=p, nk=nk: (0, kk + p * nk))
+            for p in range(4)
+        ]
+        sspecs = [
+            pl.BlockSpec((kb, tn), lambda j, kk, p=p, nk=nk: (kk + p * nk, j))
+            for p in range(4)
+        ]
+
+        @jax.jit
+        def run(xx, qq, ss):
+            return pl.pallas_call(
+                ft.partial(kernel, mode=mode),
+                out_shape=jax.ShapeDtypeStruct((b, n), jnp.bfloat16),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=0,
+                    grid=(n // tn, nk),
+                    in_specs=xspecs
+                    + [pl.BlockSpec((tw, tn), lambda j, kk: (kk, j))]
+                    + sspecs,
+                    out_specs=pl.BlockSpec((b, tn), lambda j, kk: (0, j)),
+                    scratch_shapes=[pltpu.VMEM((b, tn), jnp.float32)],
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                ),
+                interpret=jax.default_backend() == "cpu",
+            )(xx, xx, xx, xx, qq, ss, ss, ss, ss)
+        return run
+
+    hw = jax.device_put((q32, scales))
+    modes = os.environ.get(
+        "NFAI_ANATOMY",
+        "full,noscale,oneplane,floor,rowscale,repeat,scalef32",
+    ).split(",")
+    for mode in modes:
+        runk = build(mode)
+
+        @functools.partial(jax.jit, static_argnames=("m", "tag"))
+        def chain(x0, hw, m, tag):
+            def body(c, i):
+                y = runk(c, hw[0], hw[1])
+                bump = (jnp.sum(y[:, :256].astype(jnp.float32))
+                        * 1e-12).astype(c.dtype)
+                return c + bump, ()
+
+            c, _ = jax.lax.scan(body, x0, jnp.arange(m, dtype=jnp.int32))
+            return c
+
+        per = time_chain(
+            lambda x0, m, mm=mode: chain(x0, hw, m, mm), x
+        ) * 1e6
+        print(f"anatomy {mode:>9}: {per:7.1f} us  ideal {ideal:6.1f}  "
+              f"({per/ideal:4.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

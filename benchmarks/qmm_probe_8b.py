@@ -229,11 +229,21 @@ def _anatomy(x, headv3, ideal):
                 # real cost, or the multiply itself?
                 wsc = wr * sr[0:1, :].astype(jnp.bfloat16)
             elif mode == "repeat":
-                # one scale row per 32 weight rows, expanded with
-                # pltpu.repeat instead of reshape-broadcast-reshape
+                # WRONG NUMERICS (kept as a timing bound): pltpu.repeat is
+                # tile-concat, not per-row repeat — caught by
+                # tpu_kernel_parity when this briefly shipped
                 wsc = wr * pltpu.repeat(
                     sr[...].astype(jnp.bfloat16), 32, axis=0
                 )
+            elif mode == "scexp":
+                # CORRECT: expand the SCALES [kb,tn]->[kb,32,tn]->[tkp,tn]
+                # (merge of two sublane dims; no split-regroup of the big
+                # weight array like _scaled_deq's reshape does)
+                sb = sr[...].astype(jnp.bfloat16)
+                kbr = sb.shape[0]
+                wsc = wr * jax.lax.broadcast_in_dim(
+                    sb, (kbr, 32, sb.shape[1]), (0, 2)
+                ).reshape(kbr * 32, sb.shape[1])
             elif mode == "scalef32":
                 # multiply in f32 after upcast (2 ops/el but maybe better
                 # ALU packing story)
@@ -286,8 +296,24 @@ def _anatomy(x, headv3, ideal):
         "NFAI_ANATOMY",
         "full,noscale,oneplane,floor,rowscale,repeat,scalef32",
     ).split(",")
+    # correctness gate for the exact variants (full/scexp must match the
+    # XLA dequant reference; the others are knowingly wrong, timing-only)
+    from nfai_tpu.ops.qtensor import dequant_qtensor
+
+    ref = np.asarray(
+        x.astype(jnp.float32)
+        @ dequant_qtensor(headv3.replace(mins=None), jnp.float32),
+        np.float32,
+    )
     for mode in modes:
         runk = build(mode)
+        if mode in ("full", "scexp"):
+            got = np.asarray(runk(x, *jax.device_put((q32, scales))),
+                             np.float32)[:, : ref.shape[1]]
+            rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+            tag = "OK" if rel < 2e-2 else "FAIL"
+            print(f"anatomy {mode:>9}: parity rel {rel:.3e} {tag}",
+                  flush=True)
 
         @functools.partial(jax.jit, static_argnames=("m", "tag"))
         def chain(x0, hw, m, tag):

@@ -106,12 +106,21 @@ def _pick_tiles(b: int, k: int, n: int) -> tuple[int, int]:
 
 
 def _scaled_deq(q_bf16, sc, group):
-    """Per-block scale via broadcast multiply (no materialized expansion):
-    [TK, TN] bf16 * [TK/g, TN] -> [TK, TN] bf16, ~2 VPU ops per element."""
+    """Per-block scale multiply: [TK, TN] bf16 * [TK/g, TN] -> [TK, TN].
+
+    The scale multiply is the dominant VPU term of every fused-dequant
+    kernel: the probe anatomy (benchmarks/qmm_probe_8b.py) measured the
+    v3 lm_head kernel at 607 us full vs 394 us with the multiply removed,
+    against a 402 us DMA ideal — kill the multiply and the kernel sits ON
+    the roofline. A pltpu.repeat-based expansion looked ~15% faster but
+    pltpu.repeat has TILE-CONCAT semantics (copies of the whole array, NOT
+    per-row repeats), so it computes wrong values — caught by
+    benchmarks/tpu_kernel_parity.py on real silicon (interpret-mode CPU
+    tests take the fallback path and missed it). Keep the
+    reshape-broadcast-reshape formulation, which Mosaic lowers correctly."""
     tk, tn = q_bf16.shape
-    w = q_bf16.reshape(tk // group, group, tn) * sc[:, None, :].astype(
-        jnp.bfloat16
-    )
+    scb = sc.astype(jnp.bfloat16)
+    w = q_bf16.reshape(tk // group, group, tn) * scb[:, None, :]
     return w.reshape(tk, tn)
 
 
@@ -347,7 +356,12 @@ def _pick_v3_tiles(b: int, nw: int, n: int, wmul: int = 1) -> tuple[int, int]:
             return tw, tn
     budget = 12 << 20
     nprefs = (1024, 512, 256, 128) if n < 65536 else (512, 256, 128)
-    wprefs = (256, 128)
+    # decode prefers deeper word tiles: (512, 512) halves the 128k-vocab
+    # lm_head's grid-cell count vs (256, 512) and measured 647 -> 622 us
+    # (probe8b v4; earlier runs saw up to 9%). The VMEM budget check below
+    # still steps 512 down wherever it does not fit (q8v3's wmul=2, or
+    # tn=1024 shapes).
+    wprefs = (512, 256, 128) if b <= 64 else (256, 128)
     outer, inner, swap = (
         (nprefs, wprefs, False) if b <= 64 else (wprefs, nprefs, True)
     )

@@ -110,16 +110,24 @@ def _scaled_deq(q_bf16, sc, group):
 
     The scale multiply is the dominant VPU term of every fused-dequant
     kernel: the probe anatomy (benchmarks/qmm_probe_8b.py) measured the
-    v3 lm_head kernel at 607 us full vs 394 us with the multiply removed,
-    against a 402 us DMA ideal — kill the multiply and the kernel sits ON
-    the roofline. A pltpu.repeat-based expansion looked ~15% faster but
-    pltpu.repeat has TILE-CONCAT semantics (copies of the whole array, NOT
-    per-row repeats), so it computes wrong values — caught by
-    benchmarks/tpu_kernel_parity.py on real silicon (interpret-mode CPU
-    tests take the fallback path and missed it). Keep the
-    reshape-broadcast-reshape formulation, which Mosaic lowers correctly."""
+    v3 lm_head kernel at 633 us with the old reshape-regroup formulation
+    vs 402 us with the multiply removed — exactly the DMA ideal. Expanding
+    the SMALL scales array (broadcast_in_dim + merge-reshape of two sublane
+    dims) instead of sublane-splitting the BIG weight array measured 541 us
+    with bit-identical results (parity-gated in the probe): the weight
+    regroup, not the multiply itself, was most of the cost. A
+    pltpu.repeat-based expansion looked similar but has TILE-CONCAT
+    semantics (copies of the whole array, not per-row repeats) and computed
+    wrong values — caught by benchmarks/tpu_kernel_parity.py on silicon;
+    never land a kernel "optimization" without that gate."""
     tk, tn = q_bf16.shape
+    kb = sc.shape[0]
     scb = sc.astype(jnp.bfloat16)
+    if tk == kb * group:
+        sc_exp = jax.lax.broadcast_in_dim(
+            scb, (kb, group, tn), (0, 2)
+        ).reshape(tk, tn)
+        return q_bf16 * sc_exp
     w = q_bf16.reshape(tk // group, group, tn) * scb[:, None, :]
     return w.reshape(tk, tn)
 

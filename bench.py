@@ -178,9 +178,12 @@ def build_synthetic_params(
             k: to_v3_stacked(v) if isinstance(v, _QT) else v
             for k, v in params["layers"].items()
         }
-    if quant == "q8_0" and not no_v3:
-        # mirror load_params: eligible 8-bit weights repack to the
-        # cast-free q8v3 bit-decode container (ops.qtensor)
+    if quant == "q8_0" and not no_v3 and os.environ.get(
+        "NFAI_Q8V3", "0"
+    ) != "0":
+        # mirror load_params: q8v3 is OFF by default (lost its r4 A/B,
+        # see models.llama.load_params.repack); NFAI_Q8V3=1 repacks
+        # eligible 8-bit weights to the cast-free bit-decode container
         from nfai_tpu.ops.qtensor import QTensor as _QT8, to_q8v3_stacked
 
         params["lm_head"] = to_q8v3_stacked(params["lm_head"])

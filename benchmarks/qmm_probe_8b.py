@@ -173,10 +173,21 @@ def main():
         os.environ.pop("NFAI_V3_TILES", None)
 
         if not args.skip_anatomy:
-            _anatomy(x, headv3, ideal)
+            _anatomy(x, headv3, ideal, label="lm_head")
+
+    if os.environ.get("NFAI_ANATOMY_WQKV"):
+        # the 8B profile has wqkv at 2.0x and wo at 2.1x ideal — the worst
+        # ratios post-scexp; these shapes carry IN-KERNEL mins dots (the
+        # lm_head applies mins externally). Anatomy with "+mins" modes
+        # isolates that term at the wqkv shape.
+        from nfai_tpu.ops.qtensor import to_v3
+
+        wq = to_v3(build_q4(rng, K, 6144))
+        wbytes = wq.qs.nbytes + wq.scales.nbytes + wq.mins.nbytes
+        _anatomy(x, wq, wbytes / (GBPS * 1e3), label="wqkv")
 
 
-def _anatomy(x, headv3, ideal):
+def _anatomy(x, headv3, ideal, label="lm_head"):
     """Kernel-anatomy timing at the lm_head shape: which VPU term makes the
     v3 kernel ~1.7x its DMA ideal? Variants (timing-only; wrong numerics for
     all but `full`):
@@ -193,7 +204,7 @@ def _anatomy(x, headv3, ideal):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from nfai_tpu.ops.qmatmul import _scaled_deq
+    from nfai_tpu.ops.qmatmul import _block_sums, _scaled_deq
 
     b, k = x.shape
     q32, scales = headv3.qs, headv3.scales
@@ -217,25 +228,26 @@ def _anatomy(x, headv3, ideal):
         def plane(shifted):
             return pltpu.bitcast((shifted & msk) | hdr, jnp.bfloat16)
 
-        if mode in ("oneplane", "floor"):
+        base = mode.split("+")[0]
+        if base in ("oneplane", "floor"):
             ws = [plane(w << 3)] * 4
         else:
             ws = [plane(w << 3), plane(w >> 5), plane(w >> 1), plane(w >> 9)]
         for xr, wr, sr in zip((x0, x1, x2, x3), ws, (s0, s1, s2, s3)):
-            if mode in ("noscale", "floor"):
+            if base in ("noscale", "floor"):
                 wsc = wr
-            elif mode == "rowscale":
+            elif base == "rowscale":
                 # same mult count, NO sublane regroup: is the reshape the
                 # real cost, or the multiply itself?
                 wsc = wr * sr[0:1, :].astype(jnp.bfloat16)
-            elif mode == "repeat":
+            elif base == "repeat":
                 # WRONG NUMERICS (kept as a timing bound): pltpu.repeat is
                 # tile-concat, not per-row repeat — caught by
                 # tpu_kernel_parity when this briefly shipped
                 wsc = wr * pltpu.repeat(
                     sr[...].astype(jnp.bfloat16), 32, axis=0
                 )
-            elif mode == "scexp":
+            elif base == "scexp":
                 # CORRECT: expand the SCALES [kb,tn]->[kb,32,tn]->[tkp,tn]
                 # (merge of two sublane dims; no split-regroup of the big
                 # weight array like _scaled_deq's reshape does)
@@ -244,7 +256,7 @@ def _anatomy(x, headv3, ideal):
                 wsc = wr * jax.lax.broadcast_in_dim(
                     sb, (kbr, 32, sb.shape[1]), (0, 2)
                 ).reshape(kbr * 32, sb.shape[1])
-            elif mode == "scalef32":
+            elif base == "scalef32":
                 # multiply in f32 after upcast (2 ops/el but maybe better
                 # ALU packing story)
                 wsc = (wr.astype(jnp.float32)
@@ -255,6 +267,15 @@ def _anatomy(x, headv3, ideal):
                 xr[...].astype(jnp.bfloat16), wsc,
                 preferred_element_type=jnp.float32,
             )
+            if mode.endswith("+mins"):
+                # the layered kernels' in-kernel affine term: one bsums
+                # selector-dot + one mins dot per plane (sr stands in for
+                # the mins rows — same shape, timing-equivalent)
+                acc_ref[...] -= jax.lax.dot(
+                    _block_sums(xr[...], 32),
+                    sr[...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
 
         @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
         def _():
@@ -312,7 +333,7 @@ def _anatomy(x, headv3, ideal):
                              np.float32)[:, : ref.shape[1]]
             rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
             tag = "OK" if rel < 2e-2 else "FAIL"
-            print(f"anatomy {mode:>9}: parity rel {rel:.3e} {tag}",
+            print(f"anatomy[{label}] {mode:>9}: parity rel {rel:.3e} {tag}",
                   flush=True)
 
         @functools.partial(jax.jit, static_argnames=("m", "tag"))
@@ -329,7 +350,7 @@ def _anatomy(x, headv3, ideal):
         per = time_chain(
             lambda x0, m, mm=mode: chain(x0, hw, m, mm), x
         ) * 1e6
-        print(f"anatomy {mode:>9}: {per:7.1f} us  ideal {ideal:6.1f}  "
+        print(f"anatomy[{label}] {mode:>10}: {per:7.1f} us  ideal {ideal:6.1f}  "
               f"({per/ideal:4.2f}x)", flush=True)
 
 

@@ -600,11 +600,14 @@ def load_params(
                 raw["w_gate_up"], raw["w_down"]
             )
     def repack(s):
-        # 4-bit → v3 bit-decode; 8-bit → q8v3 (two cast-free nibble word
-        # sets); each is a no-op for the other's kind and for
-        # sectioned/TP/odd-K/expert-stack leaves
+        # 4-bit → v3 bit-decode; 8-bit stays in the plain q8 container by
+        # DEFAULT: the q8v3 cast-free bit-decode measured SLOWER on its
+        # target config once the scale-expand dequant landed (3B Q8 b8:
+        # 1127 tok/s q8v3 vs 1217 plain, r4 head-to-head on identical
+        # kernels elsewhere — the 2-nibble-plane decode costs more VPU than
+        # the int8->bf16 cast it removes). NFAI_Q8V3=1 re-enables it.
         s = to_v3_stacked(s)
-        if os.environ.get("NFAI_Q8V3", "1") != "0" and getattr(
+        if os.environ.get("NFAI_Q8V3", "0") != "0" and getattr(
             s, "qs", None
         ) is not None and s.qs.ndim == 3:
             s = to_q8v3_stacked(s)
@@ -644,7 +647,7 @@ def load_params(
                 lm_head = to_v3(lm_head)
             if (
                 lm_head.kind == "q8"
-                and os.environ.get("NFAI_Q8V3", "1") != "0"
+                and os.environ.get("NFAI_Q8V3", "0") != "0"
             ):
                 # 8-bit heads take the cast-free q8v3 container at any
                 # width (same integer grid; no gather consumer to preserve)

@@ -114,9 +114,11 @@ def test_q8v3_2d_qmatmul_with_padding(monkeypatch):
 
 
 def test_q8v3_full_model_decode(tmp_path, monkeypatch):
-    """load_params converts eligible Q8_0 layer weights to q8v3; greedy
-    decode matches a run with the conversion disabled (same integer
-    grid, bf16-identical kernels)."""
+    """With NFAI_Q8V3=1, load_params converts eligible Q8_0 layer weights
+    to q8v3; greedy decode matches the default plain-q8 run (same integer
+    grid, bf16-identical kernels). The container is OPT-IN since r4: it
+    lost its head-to-head on the 3B Q8 config (1127 vs 1217 tok/s) once
+    the scale-expand dequant landed."""
     from nfai_tpu.config import EngineConfig, SamplingParams
     from nfai_tpu.gguf.constants import GGMLType
     from nfai_tpu.models.testing import make_tiny_llama_gguf
@@ -127,6 +129,7 @@ def test_q8v3_full_model_decode(tmp_path, monkeypatch):
         n_kv_heads=4, ffn_dim=2048, vocab_size=4096, quant=GGMLType.Q8_0,
         tied=False, seed=7,
     )
+    monkeypatch.setenv("NFAI_Q8V3", "1")
     eng = InferenceEngine(path, EngineConfig(max_seq_len=64))
     assert eng.params["layers"]["wqkv"].kind == "q8v3"
     assert eng.params["layers"]["wo"].kind == "q8v3"

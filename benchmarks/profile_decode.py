@@ -76,12 +76,59 @@ def main():
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--chunk", type=int, default=64)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--prefill", action="store_true",
+                    help="trace one prefill_step call instead of a decode "
+                         "chunk (use --prompt/--batch for the shape)")
+    ap.add_argument("--prompt", type=int, default=128)
     args = ap.parse_args()
 
-    from nfai_tpu.models.llama import decode_loop
+    from nfai_tpu.models.llama import decode_loop, prefill_step
 
     cfg, params, cache, vocab = build_state(args.size, args.quant, args.batch, args.seq, 128)
     B = args.batch
+
+    if args.prefill:
+        from nfai_tpu.models import KVCache
+
+        T = args.prompt
+        tokens = jnp.zeros((B, T), jnp.int32)
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+        last = jnp.full((B,), T - 1, jnp.int32)
+
+        def sync(x):
+            return np.asarray(jnp.sum(x.astype(jnp.float32)))
+
+        print("prefill warmup/compile...", flush=True)
+        logits, cache = prefill_step(params, cfg, tokens, positions, last, cache)
+        sync(logits)
+        import time
+
+        cache = KVCache.zeros(cfg, B, args.seq, jnp.bfloat16)
+        t0 = time.perf_counter()
+        logits, cache = prefill_step(params, cfg, tokens, positions, last, cache)
+        sync(logits)
+        print(f"warm prefill({B}x{T}): {(time.perf_counter()-t0)*1e3:.1f} ms",
+              flush=True)
+        logdir = "/tmp/nfai_trace_prefill"
+        os.makedirs(logdir, exist_ok=True)
+        cache = KVCache.zeros(cfg, B, args.seq, jnp.bfloat16)
+        print("tracing one prefill...", flush=True)
+        with jax.profiler.trace(logdir):
+            logits, cache = prefill_step(params, cfg, tokens, positions, last, cache)
+            sync(logits)
+        parsed = parse_xplane(logdir)
+        if parsed is None:
+            print("no xplane captured")
+            return
+        tallies, counts, path = parsed
+        total = sum(tallies.values())
+        print(f"trace: {path}")
+        print(f"device total: {total/1e3:.2f} ms (one prefill call)")
+        print(f"{'us':>9}  {'count':>6}  op")
+        for nm, us in tallies.most_common(args.top):
+            print(f"{us:9.1f}  {counts[nm]:6d}  {nm[:110]}")
+        return
+
     first = jnp.zeros((B,), jnp.int32)
     start = jnp.full((B,), 128, jnp.int32)
     rng = jax.random.PRNGKey(1)

@@ -700,6 +700,11 @@ def load_params(
 # masked dense path; "flash" forces the kernel even on CPU (interpret mode).
 PREFILL_ATTN_IMPL = "auto"
 _FLASH_PREFILL_MIN_T = 128
+# flash-prefill block sizes (A/B knobs): the 2x2048 prefill profile has the
+# kernel at ~39 us per (256, 512) grid cell (~7% MXU) — grid-cell count,
+# not FLOPs, drives its cost at prefill shapes
+_PREFILL_TB = int(os.environ.get("NFAI_PREFILL_TB", "256"))
+_PREFILL_SB = int(os.environ.get("NFAI_PREFILL_SB", "512"))
 
 PAGE_SIZE = 128  # decode kernel S-block granularity constraint
 
@@ -749,14 +754,15 @@ def _cached_attention(
     if use_flash_prefill:
         from ..ops.prefill_attention import flash_prefill_attention
 
+
         return flash_prefill_attention(
             q,
             # head-major materialized view: see flash_prefill_attention
             k_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3),
             v_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3),
             positions[:, 0],
-            t_block=t if t <= 256 else 256,
-            s_block=128 if s % 512 else 512,
+            t_block=t if t <= _PREFILL_TB else _PREFILL_TB,
+            s_block=128 if s % _PREFILL_SB else _PREFILL_SB,
             interpret=jax.default_backend() == "cpu",
             scale=scale,
             softcap=softcap,

@@ -353,14 +353,19 @@ def mlp_prefill(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
     prompt would otherwise re-read the MLP weights 64x per layer.
 
     The gate/up weight is dequantized in its PHYSICAL (per-step
-    [gate_j|up_j] slab) column order and only the [rows, F] activation is
-    un-permuted before the down projection — a weight-order gather on
-    [K, 2F] would cost K/rows times more bytes. Exactly inverse
-    permutations (see qtensor.mlp_gu_col_perm)."""
-    from .qtensor import dequant_qtensor, mlp_col_perm
+    [gate_j|up_j] slab) column order and the activation STAYS in that
+    order: the per-step permutation (j, p, t) <-> p*(F/4) + j*tfb + t is a
+    pure axis transpose, so instead of the old `a[:, argsort(perm)]`
+    gather on the [rows, F] activation (the 2x2048-token prefill profile
+    showed ~36 ms of gather + bad-layout f32 materialization in this
+    chain), the DOWN weight's rows transpose into the activation's order —
+    an XLA transpose of the [F, H] matrix, F*H elements instead of
+    rows*F and no gather at all."""
+    from .qtensor import dequant_qtensor
 
     f = gu.n // 2
     tfb = gu.tfb or MLP_TFB
+    nj = f // (4 * tfb)
     lead = x.shape[:-1]
     xb = x.reshape(-1, gu.k).astype(jnp.bfloat16)
     # physical dequant: the q4mlpg merged-scales layout matches q4v3m
@@ -368,17 +373,13 @@ def mlp_prefill(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
     gup = jax.lax.dot(xb, wgu, preferred_element_type=jnp.float32)
     # physical slab j = [gate cols (4*tfb) | up cols (4*tfb)]
     rows = gup.shape[0]
-    gu3 = gup.reshape(rows, f // (4 * tfb), 2, 4 * tfb)
-    g = gu3[:, :, 0].reshape(rows, f)
-    u = gu3[:, :, 1].reshape(rows, f)
+    gu3 = gup.reshape(rows, nj, 2, 4 * tfb)
+    g, u = gu3[:, :, 0], gu3[:, :, 1]  # [rows, nj, 4*tfb] f32
     a = (jax.nn.gelu(g, approximate=True) if act == "gelu"
          else jax.nn.silu(g)) * u
-    # permuted column i holds natural ffn index perm[i] -> natural order is
-    # a[:, argsort(perm)] (static permutation, computed at trace time)
-    import numpy as np
-
-    inv = np.argsort(mlp_col_perm(f, tfb))
-    a = a.astype(jnp.bfloat16)[:, inv]
-    wd = dequant_qtensor(dn)  # q4mlpd dequant un-permutes rows internally
-    y = jax.lax.dot(a, wd, preferred_element_type=jnp.float32)
+    a = a.astype(jnp.bfloat16).reshape(rows, f)  # mlp_col_perm order
+    wd = dequant_qtensor(dn)  # q4mlpd dequant un-permutes rows to natural
+    # natural row p*(F/4) + j*tfb + t -> physical (j, p, t): a transpose
+    wdp = wd.reshape(4, nj, tfb, dn.n).transpose(1, 0, 2, 3).reshape(f, dn.n)
+    y = jax.lax.dot(a, wdp, preferred_element_type=jnp.float32)
     return y.reshape(*lead, dn.n).astype(x.dtype)

@@ -1248,6 +1248,26 @@ def linear_layered(x: jax.Array, w, layer: jax.Array) -> jax.Array:
     return y.reshape(*lead, n).astype(x.dtype)
 
 
+# The dequant-matmul kernels tile (K, N) but stream x as whole-[B] blocks;
+# past ~1k rows the double-buffered x planes alone blow the 16 MB VMEM (a
+# 2x2048-token prefill put _q4v3_matmul's scoped allocation at 68 MB —
+# Mosaic stack OOM). Row counts above this split into sequential kernel
+# calls; weights re-stream per chunk, but >=1024-row chunks keep the
+# arithmetic intensity high enough that prefill stays compute-bound.
+_MAX_KERNEL_ROWS = 1024
+
+
+def _chunk_rows(call, xb: jax.Array) -> jax.Array:
+    m = xb.shape[0]
+    if m <= _MAX_KERNEL_ROWS:
+        return call(xb)
+    pieces = [
+        call(xb[i : i + _MAX_KERNEL_ROWS])
+        for i in range(0, m, _MAX_KERNEL_ROWS)
+    ]
+    return jnp.concatenate(pieces, axis=0)
+
+
 def _layer_view(qt: QTensor) -> QTensor:
     """Metadata-only per-layer view of a stacked QTensor (leaves [L, ...])."""
     return qt.replace(qs=None, scales=None, mins=None)
@@ -1265,6 +1285,31 @@ def qmatmul_layered(
     """
     lead = x.shape[:-1]
     xb = x.reshape(-1, qt.k)
+    if (
+        use_kernel
+        and KERNEL_ENABLED
+        and xb.shape[0] > _MAX_KERNEL_ROWS
+        and os.environ.get("NFAI_PREFILL_DEQ", "0") != "0"
+    ):
+        # A/B knob (default OFF — measured a wash at 1B 2x2048: 185.4 ms
+        # dense vs 183.1 ms row-chunked kernels, MFU 0.292 vs 0.296):
+        # dequantize ONCE per layer (XLA) and run a dense matmul instead
+        # of row-chunked fused kernels that re-stream quantized weights
+        # per chunk. Kept because the break-even moves with K·N/rows;
+        # decode never takes this branch.
+        take = functools.partial(jax.lax.dynamic_index_in_dim,
+                                 index=layer, axis=0, keepdims=False)
+        sliced = qt.replace(
+            qs=take(qt.qs),
+            scales=take(qt.scales),
+            mins=None if qt.mins is None else take(qt.mins),
+        )
+        y = (xb.astype(jnp.bfloat16) @ dequant_qtensor(sliced)).astype(
+            jnp.bfloat16
+        )
+        if y.shape[-1] != qt.n:
+            y = y[..., : qt.n]
+        return y.reshape(*lead, qt.n)
     eligible = (
         use_kernel
         and KERNEL_ENABLED
@@ -1273,21 +1318,26 @@ def qmatmul_layered(
     )
     if eligible:
         if qt.kind == "q8":
-            y = _q8_matmul_layered(
-                xb, layer, qt.qs, qt.scales, qt.mins, group=qt.group
+            call = lambda xc: _q8_matmul_layered(
+                xc, layer, qt.qs, qt.scales, qt.mins, group=qt.group
             )
         elif qt.kind == "q8v3":
-            y = _q8v3_matmul_layered(
-                xb, layer, qt.qs, qt.scales, qt.mins, group=qt.group
+            call = lambda xc: _q8v3_matmul_layered(
+                xc, layer, qt.qs, qt.scales, qt.mins, group=qt.group
             )
         elif qt.kind == "q4v3m":
-            y = _q4v3_matmul_layered(
-                xb, layer, qt.qs, qt.scales, qt.scales, merged=True
+            call = lambda xc: _q4v3_matmul_layered(
+                xc, layer, qt.qs, qt.scales, qt.scales, merged=True
             )
         elif qt.kind == "q4v3":
-            y = _q4v3_matmul_layered(xb, layer, qt.qs, qt.scales, qt.mins)
+            call = lambda xc: _q4v3_matmul_layered(
+                xc, layer, qt.qs, qt.scales, qt.mins
+            )
         else:
-            y = _q4_matmul_layered(xb, layer, qt.qs, qt.scales, qt.mins)
+            call = lambda xc: _q4_matmul_layered(
+                xc, layer, qt.qs, qt.scales, qt.mins
+            )
+        y = _chunk_rows(call, xb)
         if y.shape[-1] != qt.n:  # N-padded container
             y = y[..., : qt.n]
     else:
@@ -1358,19 +1408,27 @@ def _qmatmul_local(xb: jax.Array, qt: QTensor, use_kernel: bool) -> jax.Array:
         # the layered kernel serves the 2D container as a 1-layer stack
         # (XLA reshape, no copy); mins ride in-kernel — skip the external
         # rank-1 correction below
-        y = _q8v3_matmul_layered(
-            xb, 0, qt.qs[None], qt.scales[None],
-            None if qt.mins is None else qt.mins[None], group=qt.group,
+        y = _chunk_rows(
+            lambda xc: _q8v3_matmul_layered(
+                xc, 0, qt.qs[None], qt.scales[None],
+                None if qt.mins is None else qt.mins[None], group=qt.group,
+            ),
+            xb,
         )
         if y.shape[-1] != qt.n:
             y = y[..., : qt.n]
         return y
     elif qt.kind == "q8":
-        y = _q8_matmul(xb, qt.qs, qt.scales, None, group=qt.group)
+        y = _chunk_rows(
+            lambda xc: _q8_matmul(xc, qt.qs, qt.scales, None, group=qt.group),
+            xb,
+        )
     elif qt.kind == "q4v3":
-        y = _q4v3_matmul(xb, qt.qs, qt.scales)
+        y = _chunk_rows(lambda xc: _q4v3_matmul(xc, qt.qs, qt.scales), xb)
     else:
-        y = _q4_matmul(xb, qt.qs, qt.scales, None)
+        y = _chunk_rows(
+            lambda xc: _q4_matmul(xc, qt.qs, qt.scales, None), xb
+        )
     if qt.mins is not None:
         y = (
             y.astype(jnp.float32) - mins_correction(xb, qt.mins, qt.group)

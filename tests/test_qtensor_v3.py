@@ -212,18 +212,35 @@ def test_v3_full_model_decode(tmp_path):
     )
     assert len(out) == 4
 
-    # same model with the fused-MLP conversion disabled: greedy decode must
-    # produce the same tokens (the kernels share bf16 rounding behavior)
+    # same model with the fused-MLP conversion disabled: the two kernel
+    # paths share the integer grid but not f32 reduction order (and the
+    # XLA:CPU backend may keep the scale*weight product in higher precision
+    # depending on fusion), so the check is LOGIT closeness, not exact
+    # greedy tokens — a corrupted container shows up as O(1) relative
+    # error (the r4 pltpu.repeat bug measured rel 0.6), bf16 path
+    # divergence as a few percent
     import os
+
+    import numpy as np
+
+    from nfai_tpu.models import KVCache, forward, logits_for
 
     os.environ["NFAI_FUSED_MLP"] = "0"
     try:
         eng2 = InferenceEngine(path, EngineConfig(max_seq_len=64))
         assert eng2.params["layers"]["w_gate_up"].kind == "q4v3"
-        out2 = list(
-            eng2.generate([2, 4, 6], SamplingParams(temperature=0.0,
-                                                    max_new_tokens=4))
-        )
     finally:
         del os.environ["NFAI_FUSED_MLP"]
-    assert out == out2
+
+    toks = jnp.asarray([[2, 4, 6]], jnp.int32)
+    pos = jnp.asarray([[0, 1, 2]], jnp.int32)
+
+    def logits(e):
+        cache = KVCache.zeros(e.model_cfg, 1, 16, jnp.bfloat16)
+        h, _ = forward(e.params, e.model_cfg, toks, pos, cache)
+        return np.asarray(logits_for(e.params, h[:, -1]), np.float32)
+
+    a, b = logits(eng), logits(eng2)
+    rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert rel < 8e-2, rel
+    assert a.argmax() == b.argmax()

@@ -103,6 +103,34 @@ def main():
         want = qmm_ref(x, sliced, use_kernel=False)
         ok &= report(f"q4_layered l={li}", got, want, tol=2e-2)
 
+    # --- flash prefill attention (flat-row GQA layout) -----------------------
+    from nfai_tpu.ops.prefill_attention import flash_prefill_attention
+
+    b, t, hq, hkv, d, s = 2, 256, 8, 2, 64, 1024
+    q = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(b, hkv, s, d)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(b, hkv, s, d)), jnp.float32)
+    off = jnp.asarray([0, 512], jnp.int32)
+    got = flash_prefill_attention(q, kc, vc, off, t_block=128, s_block=256)
+    want = flash_prefill_attention(
+        q, kc, vc, off, t_block=128, s_block=256, interpret=True
+    )
+    ok &= report("flash_prefill", got, want, tol=2e-2)
+    # windowed + softcap + int8-scales variant
+    ks = jnp.asarray(rng.uniform(0.01, 0.05, (b, hkv, s)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.01, 0.05, (b, hkv, s)), jnp.float32)
+    kc8 = jnp.asarray(rng.integers(-128, 128, (b, hkv, s, d)), jnp.int8)
+    vc8 = jnp.asarray(rng.integers(-128, 128, (b, hkv, s, d)), jnp.int8)
+    got = flash_prefill_attention(
+        q, kc8, vc8, off, t_block=128, s_block=256, softcap=30.0,
+        window=300, k_scales=ks, v_scales=vs,
+    )
+    want = flash_prefill_attention(
+        q, kc8, vc8, off, t_block=128, s_block=256, softcap=30.0,
+        window=300, k_scales=ks, v_scales=vs, interpret=True,
+    )
+    ok &= report("flash_prefill win+cap+int8", got, want, tol=2e-2)
+
     print("KERNELS-OK" if ok else "KERNELS-FAIL", flush=True)
     return 0 if ok else 1
 

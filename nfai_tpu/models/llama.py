@@ -700,11 +700,14 @@ def load_params(
 # masked dense path; "flash" forces the kernel even on CPU (interpret mode).
 PREFILL_ATTN_IMPL = "auto"
 _FLASH_PREFILL_MIN_T = 128
-# flash-prefill block sizes (A/B knobs): the 2x2048 prefill profile has the
-# kernel at ~39 us per (256, 512) grid cell (~7% MXU) — grid-cell count,
-# not FLOPs, drives its cost at prefill shapes
-_PREFILL_TB = int(os.environ.get("NFAI_PREFILL_TB", "256"))
+# flash-prefill block sizes (A/B knobs). With the flat-row GQA layout the
+# VMEM budget caps t_block at 128 in "full" kv layout (q/scratch carry all
+# kv heads per block); headmajor mode tolerates 256.
+_PREFILL_TB = int(os.environ.get("NFAI_PREFILL_TB", "128"))
 _PREFILL_SB = int(os.environ.get("NFAI_PREFILL_SB", "512"))
+# "full" feeds the kernel the NATIVE merged-lane [B, S, KVD] cache (no
+# per-layer head-major transpose); "headmajor" keeps the transpose path.
+_PREFILL_KV_LAYOUT = os.environ.get("NFAI_PREFILL_KV", "full")
 
 PAGE_SIZE = 128  # decode kernel S-block granularity constraint
 
@@ -755,14 +758,20 @@ def _cached_attention(
         from ..ops.prefill_attention import flash_prefill_attention
 
 
+        if _PREFILL_KV_LAYOUT == "full":
+            kc, vc = k_cache, v_cache  # native merged-lane [B, S, KVD]
+        else:
+            # head-major materialized view: see flash_prefill_attention
+            kc = k_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+            vc = v_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
         return flash_prefill_attention(
             q,
-            # head-major materialized view: see flash_prefill_attention
-            k_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3),
-            v_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3),
+            kc,
+            vc,
             positions[:, 0],
             t_block=t if t <= _PREFILL_TB else _PREFILL_TB,
             s_block=128 if s % _PREFILL_SB else _PREFILL_SB,
+            kv_layout=_PREFILL_KV_LAYOUT,
             interpret=jax.default_backend() == "cpu",
             scale=scale,
             softcap=softcap,

@@ -370,11 +370,20 @@ def mlp_prefill(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
     xb = x.reshape(-1, gu.k).astype(jnp.bfloat16)
     # physical dequant: the q4mlpg merged-scales layout matches q4v3m
     wgu = dequant_qtensor(gu.replace(kind="q4v3m"))  # [K, 2F] permuted cols
-    gup = jax.lax.dot(xb, wgu, preferred_element_type=jnp.float32)
+    # bf16 matmul OUTPUT (f32 accumulation happens inside the MXU either
+    # way): the f32 [rows, 2F] intermediate was the top non-attention HBM
+    # cost of a 2x2048 prefill (~268 MB written + re-read + two layout
+    # copies); the silu below still computes in f32 registers inside the
+    # elementwise fusion, only the pre-activation is rounded once to bf16
+    # (far below the q4 weight-quantization noise floor).
+    gup = jax.lax.dot(
+        xb, wgu, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
     # physical slab j = [gate cols (4*tfb) | up cols (4*tfb)]
     rows = gup.shape[0]
     gu3 = gup.reshape(rows, nj, 2, 4 * tfb)
-    g, u = gu3[:, :, 0], gu3[:, :, 1]  # [rows, nj, 4*tfb] f32
+    g = gu3[:, :, 0].astype(jnp.float32)
+    u = gu3[:, :, 1].astype(jnp.float32)  # [rows, nj, 4*tfb]
     a = (jax.nn.gelu(g, approximate=True) if act == "gelu"
          else jax.nn.silu(g)) * u
     a = a.astype(jnp.bfloat16).reshape(rows, f)  # mlp_col_perm order

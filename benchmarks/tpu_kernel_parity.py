@@ -106,6 +106,35 @@ def main():
     # --- flash prefill attention (flat-row GQA layout) -----------------------
     from nfai_tpu.ops.prefill_attention import flash_prefill_attention
 
+    def dense_prefill_ref(q, kc_hm, vc_hm, off, softcap=0.0, window=0,
+                          ks=None, vs=None):
+        """Independent dense oracle: [B,Hkv,S,D] head-major cache."""
+        bb, tt, hh, dd = q.shape
+        kv = kc_hm.shape[1]
+        rr = hh // kv
+        if ks is not None:
+            kc_hm = kc_hm.astype(np.float32) * np.asarray(ks)[:, :, :, None]
+            vc_hm = vc_hm.astype(np.float32) * np.asarray(vs)[:, :, :, None]
+        qg = np.asarray(q, np.float32).reshape(bb, tt, kv, rr, dd)
+        scores = np.einsum(
+            "bthrd,bhsd->bhrts", qg, np.asarray(kc_hm, np.float32)
+        ) / np.sqrt(dd)
+        if softcap:
+            scores = softcap * np.tanh(scores / softcap)
+        ss = kc_hm.shape[2]
+        span = np.arange(ss)[None, None, None, None, :]
+        pos = (np.asarray(off)[:, None] + np.arange(tt)[None, :])[
+            :, None, None, :, None
+        ]
+        vis = span <= pos
+        if window:
+            vis &= span > pos - window
+        scores = np.where(vis, scores, -1e30)
+        p = np.exp(scores - scores.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        o = np.einsum("bhrts,bhsd->bthrd", p, np.asarray(vc_hm, np.float32))
+        return o.reshape(bb, tt, hh, dd)
+
     b, t, hq, hkv, d, s = 2, 256, 8, 2, 64, 1024
     q = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.float32)
     kc = jnp.asarray(rng.normal(size=(b, hkv, s, d)), jnp.float32)
@@ -130,6 +159,45 @@ def main():
         window=300, k_scales=ks, v_scales=vs, interpret=True,
     )
     ok &= report("flash_prefill win+cap+int8", got, want, tol=2e-2)
+
+    # headmajor vs the independent dense oracle (not interpret mode)
+    want = dense_prefill_ref(q, kc, vc, off)
+    got = flash_prefill_attention(q, kc, vc, off, t_block=128, s_block=256)
+    ok &= report("flash_prefill vs dense", got, want, tol=2e-2)
+
+    # --- kv_layout='full' (production default): native merged-lane cache ----
+    for dd, name in ((64, "full d=64"), (128, "full d=128")):
+        hq2, hkv2 = 8, 2
+        kvd = hkv2 * dd
+        q2 = jnp.asarray(rng.normal(size=(b, t, hq2, dd)), jnp.float32)
+        kcm = jnp.asarray(rng.normal(size=(b, s, kvd)), jnp.float32)
+        vcm = jnp.asarray(rng.normal(size=(b, s, kvd)), jnp.float32)
+        kc_hm = kcm.reshape(b, s, hkv2, dd).transpose(0, 2, 1, 3)
+        vc_hm = vcm.reshape(b, s, hkv2, dd).transpose(0, 2, 1, 3)
+        got = flash_prefill_attention(
+            q2, kcm, vcm, off, t_block=128, s_block=256, kv_layout="full"
+        )
+        want = dense_prefill_ref(q2, kc_hm, vc_hm, off)
+        ok &= report(f"flash_prefill {name}", got, want, tol=2e-2)
+        # int8-scales variant over the full layout
+        ks2 = jnp.asarray(
+            rng.uniform(0.01, 0.05, (b, hkv2, s)), jnp.float32
+        )
+        vs2 = jnp.asarray(
+            rng.uniform(0.01, 0.05, (b, hkv2, s)), jnp.float32
+        )
+        kq = jnp.asarray(rng.integers(-128, 128, (b, s, kvd)), jnp.int8)
+        vq = jnp.asarray(rng.integers(-128, 128, (b, s, kvd)), jnp.int8)
+        kq_hm = kq.reshape(b, s, hkv2, dd).transpose(0, 2, 1, 3)
+        vq_hm = vq.reshape(b, s, hkv2, dd).transpose(0, 2, 1, 3)
+        got = flash_prefill_attention(
+            q2, kq, vq, off, t_block=128, s_block=256, kv_layout="full",
+            k_scales=ks2, v_scales=vs2,
+        )
+        want = dense_prefill_ref(
+            q2, kq_hm, vq_hm, off, ks=ks2, vs=vs2
+        )
+        ok &= report(f"flash_prefill {name} int8", got, want, tol=2e-2)
 
     print("KERNELS-OK" if ok else "KERNELS-FAIL", flush=True)
     return 0 if ok else 1

@@ -758,18 +758,23 @@ def _cached_attention(
         from ..ops.prefill_attention import flash_prefill_attention
 
 
-        if _PREFILL_KV_LAYOUT == "full":
+        if _PREFILL_KV_LAYOUT in ("full", "merged"):
             kc, vc = k_cache, v_cache  # native merged-lane [B, S, KVD]
         else:
             # head-major materialized view: see flash_prefill_attention
             kc = k_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
             vc = v_cache.reshape(b, s, hkv, d).transpose(0, 2, 1, 3)
+        # largest divisor of t that fits the TB cap (engine buckets can
+        # produce t like 192 that the cap itself does not divide)
+        t_block = t
+        while t_block > _PREFILL_TB:
+            t_block //= 2
         return flash_prefill_attention(
             q,
             kc,
             vc,
             positions[:, 0],
-            t_block=t if t <= _PREFILL_TB else _PREFILL_TB,
+            t_block=t_block,
             s_block=128 if s % _PREFILL_SB else _PREFILL_SB,
             kv_layout=_PREFILL_KV_LAYOUT,
             interpret=jax.default_backend() == "cpu",

@@ -267,6 +267,11 @@ def flash_prefill_attention(
     if kv_layout in ("full", "merged"):
         _, s, kvd = k_cache.shape
         hkv = kvd // d
+        if kv_layout == "merged" and d % 128:
+            raise ValueError(
+                f"kv_layout='merged' needs D % 128 == 0 (lane-sliced "
+                f"BlockSpec), got D={d}; use 'full' or 'headmajor'"
+            )
     else:
         _, hkv, s, _ = k_cache.shape
     r = hq // hkv

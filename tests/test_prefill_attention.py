@@ -151,3 +151,98 @@ def test_flash_prefill_sliding_window(window, softcap):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-3
     )
+
+
+def test_model_prefill_t192_tb_cap(tmp_path):
+    """ADVICE r4 (medium): engine buckets can clamp a chunk to t=192; the
+    flash gate admits it but the TB cap (128) does not divide it. The model
+    must pick a divisor block (96), not raise."""
+    from nfai_tpu.gguf import GGUFFile
+    from nfai_tpu.models import KVCache
+    from nfai_tpu.models import llama as L
+    from nfai_tpu.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "m.gguf", hidden=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        ffn_dim=512, context_length=512,
+    )
+    with GGUFFile.open(path) as g:
+        cfg = L.LlamaConfig.from_gguf(g)
+        params = L.load_params(g, cfg, dtype=jnp.float32)
+    T = 192
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(5, 200, (1, T)), jnp.int32)
+    positions = jnp.arange(T, dtype=jnp.int32)[None]
+    last = jnp.asarray([T - 1], jnp.int32)
+    prev = L.PREFILL_ATTN_IMPL
+    try:
+        L.PREFILL_ATTN_IMPL = "xla"
+        want, _ = L.prefill_step(
+            params, cfg, tokens, positions, last,
+            KVCache.zeros(cfg, 1, 256, jnp.float32),
+        )
+        L.PREFILL_ATTN_IMPL = "flash"
+        got, _ = L.prefill_step(
+            params, cfg, tokens, positions, last,
+            KVCache.zeros(cfg, 1, 256, jnp.float32),
+        )
+    finally:
+        L.PREFILL_ATTN_IMPL = prev
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
+    )
+
+
+def test_flash_prefill_merged_rejects_d64():
+    """ADVICE r4 (low): kv_layout='merged' requires D % 128 == 0."""
+    b, t, hq, hkv, d, s = 1, 64, 4, 2, 64, 128
+    q = jnp.zeros((b, t, hq, d), jnp.float32)
+    kc = jnp.zeros((b, s, hkv * d), jnp.float32)
+    off = jnp.zeros((b,), jnp.int32)
+    with pytest.raises(ValueError, match="merged"):
+        flash_prefill_attention(
+            q, kc, kc, off, t_block=64, s_block=128, kv_layout="merged",
+            interpret=True,
+        )
+
+
+def test_model_prefill_kv_merged_env(tmp_path, monkeypatch):
+    """ADVICE r4 (low): NFAI_PREFILL_KV=merged must forward the NATIVE
+    [B, S, KVD] cache (not a transposed 4-D view)."""
+    from nfai_tpu.gguf import GGUFFile
+    from nfai_tpu.models import KVCache
+    from nfai_tpu.models import llama as L
+    from nfai_tpu.models.testing import make_tiny_llama_gguf
+
+    path = make_tiny_llama_gguf(
+        tmp_path / "m.gguf", hidden=256, n_layers=2, n_heads=2, n_kv_heads=1,
+        ffn_dim=512, context_length=512,
+    )
+    with GGUFFile.open(path) as g:
+        cfg = L.LlamaConfig.from_gguf(g)
+        params = L.load_params(g, cfg, dtype=jnp.float32)
+    # head_dim = 256 / 2 = 128 -> merged layout is legal
+    T = 128
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(5, 200, (1, T)), jnp.int32)
+    positions = jnp.arange(T, dtype=jnp.int32)[None]
+    last = jnp.asarray([T - 1], jnp.int32)
+    prev_impl, prev_layout = L.PREFILL_ATTN_IMPL, L._PREFILL_KV_LAYOUT
+    try:
+        L.PREFILL_ATTN_IMPL = "xla"
+        want, _ = L.prefill_step(
+            params, cfg, tokens, positions, last,
+            KVCache.zeros(cfg, 1, 256, jnp.float32),
+        )
+        L.PREFILL_ATTN_IMPL = "flash"
+        L._PREFILL_KV_LAYOUT = "merged"
+        got, _ = L.prefill_step(
+            params, cfg, tokens, positions, last,
+            KVCache.zeros(cfg, 1, 256, jnp.float32),
+        )
+    finally:
+        L.PREFILL_ATTN_IMPL = prev_impl
+        L._PREFILL_KV_LAYOUT = prev_layout
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=5e-4
+    )

@@ -366,6 +366,24 @@ def main() -> int:
         sync(logits)
         ttft = time.perf_counter() - t0
         cache = cache2
+        # device prefill throughput: amortize the per-call dispatch cost
+        # (the axon tunnel adds ~25-30 ms per round trip that a local
+        # runtime would not pay) over pipelined back-to-back calls; ttft
+        # above stays the honest single-call latency
+        reps = 3
+        caches = [
+            KVCache.zeros(cfg, B, args.seq, dtype, quantized=kvq)
+            for _ in range(reps)
+        ]
+        for c in caches:
+            sync(c.k)
+        t0 = time.perf_counter()
+        outs = [
+            prefill_step(params, cfg, tokens, positions, last, c)[0]
+            for c in caches
+        ]
+        sync(outs[-1])
+        prefill_step_s = (time.perf_counter() - t0) / reps
         # prefill MFU: prefill is compute-bound, so the honest denominator
         # is the chip's bf16 matmul peak. FLOPs = 2·tokens·active-params for
         # every matmul (dequant decode work is not counted — it is overhead
@@ -381,9 +399,10 @@ def main() -> int:
         )
         attn_flops = layers * 2 * 2 * B * (T * (T + 1) / 2) * qd_
         prefill_flops = mm_per_tok * B * T + attn_flops
-        prefill_mfu = prefill_flops / ttft / (args.peak_tflops * 1e12)
+        prefill_mfu = prefill_flops / prefill_step_s / (args.peak_tflops * 1e12)
         log(f"prefill({B}x{T}): first {compile_ttft:.2f}s (compile), "
-            f"warm {ttft*1e3:.1f} ms, MFU {prefill_mfu:.3f} "
+            f"warm TTFT {ttft*1e3:.1f} ms (single call incl. dispatch), "
+            f"amortized {prefill_step_s*1e3:.1f} ms -> MFU {prefill_mfu:.3f} "
             f"({prefill_flops/1e9:.1f} GFLOP @ peak {args.peak_tflops} TF)")
 
     # -- decode ------------------------------------------------------------

@@ -704,6 +704,9 @@ _FLASH_PREFILL_MIN_T = 128
 # VMEM budget caps t_block at 128 in "full" kv layout (q/scratch carry all
 # kv heads per block); headmajor mode tolerates 256.
 _PREFILL_TB = int(os.environ.get("NFAI_PREFILL_TB", "128"))
+# SB 1024 measured 2.00 ms vs 2.56 at 512 on the STANDALONE 1B 2x2048
+# flash call (r5 probe attn_probe5) but blows the 16 MB scoped-VMEM stack
+# limit inside the full prefill program — 512 is the in-model ceiling
 _PREFILL_SB = int(os.environ.get("NFAI_PREFILL_SB", "512"))
 # "full" feeds the kernel the NATIVE merged-lane [B, S, KVD] cache (no
 # per-layer head-major transpose); "headmajor" keeps the transpose path.
@@ -769,13 +772,18 @@ def _cached_attention(
         t_block = t
         while t_block > _PREFILL_TB:
             t_block //= 2
+        # largest S divisor under the SB cap (cache lengths are bucketed
+        # to 128 multiples; e.g. s=1536 takes 512, not a fall-to-128)
+        s_block = next(
+            sb for sb in (_PREFILL_SB, 512, 256, 128) if s % sb == 0
+        )
         return flash_prefill_attention(
             q,
             kc,
             vc,
             positions[:, 0],
             t_block=t_block,
-            s_block=128 if s % _PREFILL_SB else _PREFILL_SB,
+            s_block=s_block,
             kv_layout=_PREFILL_KV_LAYOUT,
             interpret=jax.default_backend() == "cpu",
             scale=scale,
@@ -1412,8 +1420,14 @@ def forward(
     # additionally ropes its local (sliding-window) layers with a second
     # base, selected per layer inside the scan.
     cos, sin = rope_cos_sin(positions, params["inv_freq"])
+    # barrier: without it XLA sinks the (positions * inv_freq) trig into
+    # the layer while-loop and bounces the small f32 operands VMEM<->HBM
+    # every iteration (profiled ~37 ms of copy-start stalls per 2x2048
+    # prefill); materializing the tables once keeps them loop constants
+    cos, sin = jax.lax.optimization_barrier((cos, sin))
     if "inv_freq_local" in params:
         cos_l, sin_l = rope_cos_sin(positions, params["inv_freq_local"])
+        cos_l, sin_l = jax.lax.optimization_barrier((cos_l, sin_l))
     starts = positions[:, 0]
     # per-layer sliding window (0 = unlimited) rides the scan as xs
     windows = jnp.asarray(cfg.layer_windows(), jnp.int32)

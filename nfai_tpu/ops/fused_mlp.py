@@ -368,25 +368,42 @@ def mlp_prefill(x: jax.Array, gu: QTensor, dn: QTensor, act: str = "silu"):
     nj = f // (4 * tfb)
     lead = x.shape[:-1]
     xb = x.reshape(-1, gu.k).astype(jnp.bfloat16)
-    # physical dequant: the q4mlpg merged-scales layout matches q4v3m
-    wgu = dequant_qtensor(gu.replace(kind="q4v3m"))  # [K, 2F] permuted cols
-    # bf16 matmul OUTPUT (f32 accumulation happens inside the MXU either
-    # way): the f32 [rows, 2F] intermediate was the top non-attention HBM
-    # cost of a 2x2048 prefill (~268 MB written + re-read + two layout
-    # copies); the silu below still computes in f32 registers inside the
-    # elementwise fusion, only the pre-activation is rounded once to bf16
-    # (far below the q4 weight-quantization noise floor).
-    gup = jax.lax.dot(
-        xb, wgu, preferred_element_type=jnp.float32
-    ).astype(jnp.bfloat16)
-    # physical slab j = [gate cols (4*tfb) | up cols (4*tfb)]
+    # gate/up through the fused-dequant q4v3 kernel in PHYSICAL (permuted)
+    # column order — the q4mlpg merged-scales layout matches q4v3m. The
+    # row-chunked kernel runs at MXU peak at prefill shapes (qkv measured
+    # 70 us for its 65 us ideal) and skips the dense-dequant staging the
+    # old XLA path paid per layer (~14 ms/2x2048-prefill of u32 decode
+    # fusions, f32 scale materialization, and layout copies).
+    from .qmatmul import KERNEL_ENABLED, kernel_supported, qmatmul
+
+    if KERNEL_ENABLED and kernel_supported(gu.replace(kind="q4v3m")):
+        gup = qmatmul(xb, gu.replace(kind="q4v3m"))
+    else:  # tiny test shapes: XLA dequant fallback
+        wgu = dequant_qtensor(gu.replace(kind="q4v3m"))
+        gup = jax.lax.dot(
+            xb, wgu, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+    # physical slab j = [gate cols (4*tfb) | up cols (4*tfb)]. Split with
+    # STATIC lane-aligned 2D slices and re-concat: the previous
+    # reshape-to-[rows, nj, 2, w] forced an XLA relayout to a 1024-lane
+    # minor dim plus a transpose copy (~22 ms per 2x2048 1B prefill in
+    # reshape.547/copy.92/fusion.103/reshape.548); slicing the flat
+    # [rows, 2F] at 128-multiple column offsets keeps everything in the
+    # native tiling and fuses into one elementwise pass.
     rows = gup.shape[0]
-    gu3 = gup.reshape(rows, nj, 2, 4 * tfb)
-    g = gu3[:, :, 0].astype(jnp.float32)
-    u = gu3[:, :, 1].astype(jnp.float32)  # [rows, nj, 4*tfb]
-    a = (jax.nn.gelu(g, approximate=True) if act == "gelu"
-         else jax.nn.silu(g)) * u
-    a = a.astype(jnp.bfloat16).reshape(rows, f)  # mlp_col_perm order
+    w = 4 * tfb
+    act_fn = (functools.partial(jax.nn.gelu, approximate=True)
+              if act == "gelu" else jax.nn.silu)
+    a = jnp.concatenate(
+        [
+            (
+                act_fn(gup[:, 2 * j * w : (2 * j + 1) * w].astype(jnp.float32))
+                * gup[:, (2 * j + 1) * w : (2 * j + 2) * w].astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+            for j in range(nj)
+        ],
+        axis=-1,
+    )  # [rows, F] in mlp_col_perm order
     wd = dequant_qtensor(dn)  # q4mlpd dequant un-permutes rows to natural
     # natural row p*(F/4) + j*tfb + t -> physical (j, p, t): a transpose
     wdp = wd.reshape(4, nj, tfb, dn.n).transpose(1, 0, 2, 3).reshape(f, dn.n)

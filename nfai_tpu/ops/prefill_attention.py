@@ -56,6 +56,17 @@ DEFAULT_T_BLOCK = 256
 DEFAULT_S_BLOCK = 512
 
 
+def _to_mxu(x: jax.Array, dtype) -> jax.Array:
+    """Cast a kernel operand to the MXU input dtype. Production (bf16
+    activations) runs full-rate bf16 dots — f32 inputs are emulated at a
+    fraction of peak on the MXU; int8 cache values (|v| <= 127) are exact
+    in bf16 and route through f32 (Mosaic has no direct int8->bf16). The
+    f32 path is kept for f32-activation callers (CPU tests)."""
+    if x.dtype == dtype:
+        return x
+    return x.astype(jnp.float32).astype(dtype)
+
+
 def _prefill_kernel(
     off_ref,  # SMEM [B] int32: absolute position of each row's q[0]
     win_ref,  # SMEM [1] int32: sliding window (0 = unlimited)
@@ -70,6 +81,7 @@ def _prefill_kernel(
     softcap: float,
     windowed: bool,
     quantized: bool = False,
+    mxu_dtype=jnp.bfloat16,
 ):
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
@@ -97,8 +109,11 @@ def _prefill_kernel(
 
     @pl.when(relevant)
     def _():
-        q = q_ref[...].astype(jnp.float32)  # [TB*R, D]
-        k = k_ref[...].astype(jnp.float32)  # [SB, D]
+        # bf16 MXU inputs (f32 dots run at a fraction of bf16 peak via
+        # multi-pass emulation); int8 cache values <= 127 are exact in
+        # bf16, accumulation stays f32 via preferred_element_type
+        q = _to_mxu(q_ref[...], mxu_dtype)  # [TB*R, D]
+        k = _to_mxu(k_ref[...], mxu_dtype)  # [SB, D]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -132,8 +147,8 @@ def _prefill_kernel(
         if quantized:
             p = p * vs_ref[...]  # fold the v scale into the softmax weights
         pv = jax.lax.dot_general(
-            p,
-            v_ref[...].astype(jnp.float32),
+            p.astype(mxu_dtype),
+            _to_mxu(v_ref[...], mxu_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [TB*R, D]
@@ -162,6 +177,7 @@ def _prefill_kernel_full(
     softcap: float,
     windowed: bool,
     quantized: bool = False,
+    mxu_dtype=jnp.bfloat16,
 ):
     if quantized:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
@@ -187,7 +203,10 @@ def _prefill_kernel_full(
 
     @pl.when(relevant)
     def _():
-        # the causal/window mask is head-independent: build it once
+        # the causal/window mask is head-independent: build it once.
+        # (A full-block variant that skips the mask passes was measured a
+        # wash on the 2x2048 prefill and doubled Mosaic stack pressure —
+        # VMEM OOM at s_block=1024 — so one masked path it is.)
         shape = (t_block * n_rep, s_block)
         span = kk * s_block + jax.lax.broadcasted_iota(
             jnp.int32, shape, dimension=1
@@ -199,13 +218,15 @@ def _prefill_kernel_full(
         if windowed:
             visible &= (win == 0) | (span > qpos - win)
         for h in range(n_kv):  # static unroll: ref-level lane-slice loads
-            kh = k_ref[:, h * d:(h + 1) * d].astype(jnp.float32)
-            vh = v_ref[:, h * d:(h + 1) * d].astype(jnp.float32)
-            q = q_ref[h].astype(jnp.float32)  # [TB*R, D]
+            kh = _to_mxu(k_ref[:, h * d:(h + 1) * d], mxu_dtype)
+            vh = _to_mxu(v_ref[:, h * d:(h + 1) * d], mxu_dtype)
+            # fold the softmax scale into q ([TB*R, D]) instead of the
+            # [TB*R, SB] scores: one small VPU pass instead of a large one
+            q = (q_ref[h].astype(jnp.float32) * scale).astype(mxu_dtype)
             scores = jax.lax.dot_general(
                 q, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
+            )
             if quantized:
                 scores = scores * ks_ref[h]
             if softcap:
@@ -225,7 +246,7 @@ def _prefill_kernel_full(
             if quantized:
                 p = p * vs_ref[h]
             pv = jax.lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())),
+                p.astype(mxu_dtype), vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc_ref[h] = acc_ref[h] * corr + pv
@@ -293,6 +314,9 @@ def flash_prefill_attention(
     windowed = not (isinstance(window, int) and window == 0)
     win_arr = jnp.asarray(window, jnp.int32).reshape(1)
     quantized = k_scales is not None
+    # bf16-activation callers (production) get full-rate bf16 MXU dots;
+    # f32 callers (tests, parity oracles) keep exact f32 dots
+    mxu_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
 
     if kv_layout == "full":
         grid = (b, t // t_block, s // s_block)
@@ -326,6 +350,7 @@ def flash_prefill_attention(
                 _prefill_kernel_full, t_block=t_block, s_block=s_block,
                 n_rep=r, n_kv=hkv, d=d, scale=scale, softcap=softcap,
                 windowed=windowed, quantized=quantized,
+                mxu_dtype=mxu_dtype,
             ),
             out_shape=jax.ShapeDtypeStruct((b, hkv, t * r, d), q.dtype),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -390,7 +415,7 @@ def flash_prefill_attention(
         functools.partial(
             _prefill_kernel, t_block=t_block, s_block=s_block, n_rep=r,
             scale=scale, softcap=softcap, windowed=windowed,
-            quantized=quantized,
+            quantized=quantized, mxu_dtype=mxu_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, t * r, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -1358,11 +1358,26 @@ def qmatmul_layered(
 
 def mins_correction(x: jax.Array, mins: jax.Array, group: int = QBLOCK) -> jax.Array:
     """y -= bsums @ mins for affine kinds: the per-block min contributes
-    -min[kb, n] * sum(x block kb) to every output."""
+    -min[kb, n] * sum(x block kb) to every output.
+
+    At prefill row counts the block sums come from a selector-matrix DOT
+    rather than a reshape+reduce: the reduce emitted [rows, K/32] in a
+    reduction layout that XLA then relayouts ({0,1} copy) for the second
+    dot — ~6 ms per 2x2048 1B prefill; the MXU dot output is already in
+    dot-operand layout. Decode rows (<=64) keep the cheap VPU reduce."""
     b, k = x.shape
-    bsums = jnp.sum(
-        x.astype(jnp.float32).reshape(b, k // group, group), axis=-1
-    )
+    if b > 256:
+        kb = k // group
+        rows = jax.lax.broadcasted_iota(jnp.int32, (k, kb), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (k, kb), 1)
+        sel = (rows // group == cols).astype(jnp.bfloat16)
+        bsums = jax.lax.dot(
+            x.astype(jnp.bfloat16), sel, preferred_element_type=jnp.float32
+        )
+    else:
+        bsums = jnp.sum(
+            x.astype(jnp.float32).reshape(b, k // group, group), axis=-1
+        )
     return jax.lax.dot(
         bsums, mins.astype(jnp.float32), preferred_element_type=jnp.float32
     )

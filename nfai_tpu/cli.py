@@ -32,7 +32,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="system prompt (reference hardcoded this)")
     p.add_argument("--metrics", action="store_true",
                    help="print TTFT / tokens-per-second after each reply")
+    p.add_argument("--mesh", default="",
+                   help="device mesh, e.g. 'dp=2,tp=4' or 'sp=8' "
+                        "(empty = single device)")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="shard the KV cache over the mesh's sp axis "
+                        "(long contexts; needs --mesh sp=N)")
+    p.add_argument("--expert-parallel", action="store_true",
+                   help="shard MoE expert stacks over the tp axis")
     return p
+
+
+def parse_mesh(spec: str) -> dict[str, int]:
+    """'dp=2,tp=4' -> {"dp": 2, "tp": 4}."""
+    if not spec:
+        return {}
+    out = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        out[k.strip()] = int(v)
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -47,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
             max_seq_len=args.max_seq,
             dtype=args.dtype,
             system_prompt=args.system,
+            mesh_shape=parse_mesh(args.mesh),
+            seq_parallel=args.seq_parallel,
+            expert_parallel=args.expert_parallel,
         ),
     )
     sampling = SamplingParams(

@@ -101,4 +101,13 @@ class EngineConfig:
     kv_pool_tokens: int | None = None
     # mesh: axis name -> size; empty = single device
     mesh_shape: dict[str, int] = field(default_factory=dict)
+    # sequence/context parallelism: shard the KV cache over its S axis on
+    # the mesh's "sp" axis (mesh_shape={"sp": n}); decode attention
+    # reassembles full-context softmax from per-shard flash partials
+    # (parallel.seq_parallel). For contexts that outgrow one chip's HBM.
+    seq_parallel: bool = False
+    # expert parallelism: shard MoE expert stacks over their E axis on the
+    # tp mesh axis (requires n_experts % tp == 0); per-chip compute is the
+    # unchanged local grouped kernel + one psum (parallel.expert_parallel)
+    expert_parallel: bool = False
     system_prompt: str = "You are a helpful assistant."

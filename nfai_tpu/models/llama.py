@@ -54,6 +54,13 @@ class LlamaConfig:
     rope_neox: bool = False  # ggml NEOX rope (qwen2/3, gemma) vs NORM (llama)
     activation: str = "silu"  # MLP gate activation ("silu" | "gelu")
     embed_scale: float = 1.0  # gemma multiplies embeddings by sqrt(hidden)
+    # runtime parallel modes (static so jit traces the right branch; the
+    # mesh objects ride the module globals _SP_CTX/_EP_CTX set by the
+    # engine): sp_axis = sequence-parallel S-sharded cache, ep_axis =
+    # expert-parallel E-sharded expert stacks
+    sp_axis: str = ""
+    ep_axis: str = ""
+
     # gemma2/3 extensions
     attn_softcap: float = 0.0  # gemma2: scores = cap*tanh(scores/cap)
     final_softcap: float = 0.0  # gemma2: same cap on the LM-head logits
@@ -712,6 +719,28 @@ _PREFILL_SB = int(os.environ.get("NFAI_PREFILL_SB", "512"))
 # per-layer head-major transpose); "headmajor" keeps the transpose path.
 _PREFILL_KV_LAYOUT = os.environ.get("NFAI_PREFILL_KV", "full")
 
+# --- sequence-parallel / expert-parallel runtime contexts ------------------
+# Set by InferenceEngine when EngineConfig.seq_parallel / expert_parallel
+# are on (parallel.seq_parallel / parallel.expert_parallel carry the
+# collective math; these globals carry the mesh into the jitted forward,
+# following the ops.qmatmul.TP_MESH pattern). SP shards the KV cache over
+# its S axis: decode attention runs the stats-merge shard_map
+# (sp_decode_attention); prefill falls back to the masked-einsum path,
+# which GSPMD partitions over the sharded S axis. EP shards the expert
+# stacks over their E axis: _moe_ffn routes through moe_ffn_ep.
+_SP_CTX: tuple | None = None  # (mesh, axis_name)
+_EP_CTX: tuple | None = None  # (mesh, axis_name)
+
+
+def set_seq_parallel(mesh, axis: str | None) -> None:
+    global _SP_CTX
+    _SP_CTX = (mesh, axis) if axis else None
+
+
+def set_expert_parallel(mesh, axis: str | None) -> None:
+    global _EP_CTX
+    _EP_CTX = (mesh, axis) if axis else None
+
 PAGE_SIZE = 128  # decode kernel S-block granularity constraint
 
 
@@ -726,6 +755,7 @@ def _cached_attention(
     window: jax.Array | int = 0,  # sliding window (0 = unlimited; traced ok)
     k_scales: jax.Array | None = None,  # [B, Hkv, S] f32: int8 cache
     v_scales: jax.Array | None = None,
+    sp: bool = False,  # sequence-parallel cache (cfg.sp_axis, static)
 ) -> jax.Array:
     """Attention of new tokens against the (just-updated) cache.
 
@@ -741,10 +771,38 @@ def _cached_attention(
     b, t, hq, d = q.shape
     _, s, kvd = k_cache.shape
     hkv = kvd // d
+    # sequence-parallel decode: the cache is S-sharded — reassemble full
+    # attention from per-shard flash partials (one pmax + two psums,
+    # context-length-independent traffic). Softcap/window/int8 stay on
+    # the GSPMD einsum fallback (correct, partitioned automatically).
+    if (
+        sp
+        and _SP_CTX is not None
+        and t == 1
+        and k_scales is None
+        and not softcap
+        and isinstance(window, int)
+        and window == 0
+    ):
+        from ..parallel.seq_parallel import sp_decode_attention
+
+        mesh, axis = _SP_CTX
+        if s % mesh.shape[axis] == 0:
+            out = sp_decode_attention(
+                q[:, 0],
+                k_cache.reshape(b, s, hkv, d),
+                v_cache.reshape(b, s, hkv, d),
+                positions[:, 0] + 1,
+                mesh,
+                axis,
+                scale=scale,
+            )
+            return out[:, None].astype(q.dtype)
     # prefill chunks (contiguous positions per row — the only T>1 callers)
     # above the threshold take the flash kernel: no [T, S] scores in HBM
     use_flash_prefill = (
         t > 1
+        and not sp  # pallas kernels cannot read an S-sharded cache
         and (t % 256 == 0 or (t <= 256 and t % 64 == 0))
         and s % 128 == 0
         and d % 64 == 0
@@ -845,6 +903,8 @@ def _paged_attention(
     window: jax.Array | int = 0,
     k_scales: jax.Array | None = None,  # [Hkv, P, ps] (int8 pool)
     v_scales: jax.Array | None = None,
+    sp: bool = False,  # accepted for attn_kw symmetry; paged pools are
+    # single-device — sequence parallelism applies to the dense cache only
 ) -> jax.Array:
     """Attention of new tokens against paged KV (already written).
 
@@ -917,6 +977,10 @@ def _fused_decode_eligible(params, cfg, t, page_tables, cache) -> str | None:
     from ..ops import qmatmul as _qm
 
     if t != 1 or page_tables is not None:
+        return None
+    if cfg.sp_axis or cfg.ep_axis:
+        # SP: the cache is S-sharded (generic scan + sp_decode_attention);
+        # EP: expert stacks are E-sharded (generic scan + moe_ffn_ep)
         return None
     s = cache.max_seq
     kernels_ok = FUSED_DECODE_IMPL == "fused" or (
@@ -1375,8 +1439,16 @@ def forward(
     uniform_start: bool = True,
     attend_len: int | None = None,
     page_tables: jax.Array | None = None,
+    h0: jax.Array | None = None,
+    final_norm: bool = True,
 ) -> tuple[jax.Array, KVCache]:
     """Run the transformer stack; returns (hidden [B,T,H], updated cache).
+
+    `h0`/`final_norm` are the pipeline-parallel stage seams
+    (parallel.pipeline_parallel): a non-first stage receives the previous
+    stage's hidden state via `h0` (skipping embedding), a non-last stage
+    passes `final_norm=False` (the final rms_norm belongs to the last
+    stage only). Single-stage callers never set either.
 
     `attend_len` (static) bounds how many leading cache slots attention
     scans — callers pass a bucket covering every valid position so short
@@ -1395,9 +1467,15 @@ def forward(
     b, t = tokens.shape
     if activation_dtype is None:
         activation_dtype = (
-            params["embed"].dtype if params["embed"] is not None else jnp.bfloat16
+            params["embed"].dtype
+            if params.get("embed") is not None
+            else (h0.dtype if h0 is not None else jnp.bfloat16)
         )
-    fused_mode = _fused_decode_eligible(params, cfg, t, page_tables, cache)
+    fused_mode = (
+        None
+        if h0 is not None or not final_norm
+        else _fused_decode_eligible(params, cfg, t, page_tables, cache)
+    )
     if fused_mode == "single":
         return _decode_forward_fused(
             params, cfg, tokens, positions, cache, activation_dtype
@@ -1406,12 +1484,14 @@ def forward(
         return _decode_forward_fused_tp(
             params, cfg, tokens, positions, cache, activation_dtype
         )
-    if params["embed"] is None:
+    if h0 is not None:
+        h = h0.astype(activation_dtype)  # pipeline stage input
+    elif params["embed"] is None:
         # tied quantized table stored once in head layout; gather columns
         h = dequant_gather(params["lm_head"], tokens, activation_dtype)
     else:
         h = jnp.take(params["embed"], tokens, axis=0).astype(activation_dtype)
-    if cfg.embed_scale != 1.0:
+    if h0 is None and cfg.embed_scale != 1.0:
         # gemma scales embeddings by sqrt(hidden) (in the model, not the file)
         h = (h.astype(jnp.float32) * cfg.embed_scale).astype(activation_dtype)
     # rope angles are identical in every layer: compute cos/sin once per step
@@ -1487,6 +1567,7 @@ def forward(
             # static 0 when the model has no sliding window: the kernels
             # compile the window logic out entirely
             window=win if cfg.swa_pattern else 0,
+            sp=bool(cfg.sp_axis),
         )
         if page_tables is not None:
             from ..runtime.paged_cache import write_paged, write_paged_scales
@@ -1625,7 +1706,8 @@ def forward(
             (params["layers"], cache.k, cache.v, windows, is_local),
         )
         new_cache = type(cache)(new_k, new_v)
-    h = rms_norm(h, params["final_norm"], cfg.rms_eps)
+    if final_norm:
+        h = rms_norm(h, params["final_norm"], cfg.rms_eps)
     return h, new_cache
 
 
@@ -2536,6 +2618,16 @@ def _moe_ffn(x: jax.Array, lp: dict, cfg: LlamaConfig, act) -> jax.Array:
     """Mixture-of-experts FFN (qwen3moe): softmax router, top-k dispatch with
     optionally renormalized weights. Quantized expert stacks take the
     grouped quantized kernels; dense stacks dispatch on MOE_IMPL."""
+    if cfg.ep_axis and _EP_CTX is not None:
+        from ..parallel.expert_parallel import moe_ffn_ep
+
+        mesh, axis = _EP_CTX
+        if cfg.n_experts % mesh.shape[axis] == 0:
+            b, t, hdim = x.shape
+            out = moe_ffn_ep(
+                x.reshape(b * t, hdim), lp, cfg, act, mesh, axis=axis
+            )
+            return out.reshape(b, t, hdim).astype(x.dtype)
     if isinstance(lp.get("w_gate_exps"), QTensor):
         return _moe_ffn_grouped_q(x, lp, cfg, act)
     if MOE_IMPL == "grouped":

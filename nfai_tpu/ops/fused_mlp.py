@@ -276,7 +276,10 @@ def fused_mlp_layered(
     xb = x.reshape(-1, gu.k)
     y = _fused_mlp(xb, layer, gu.qs, gu.scales, dn.qs, dn.scales, act=act,
                    tfb=gu.tfb or MLP_TFB,
-                   v2=os.environ.get("NFAI_MLP_V2", "0") != "0")
+                   # r5 A/B on silicon: v2 (combined-slab, hoisted bsums)
+                   # wins BOTH measured configs — 1B b8 3958->4045 tok/s
+                   # (eff 0.93->0.95), 8B tp4 shard 2597->2655 (0.70->0.71)
+                   v2=os.environ.get("NFAI_MLP_V2", "1") != "0")
     return y.reshape(*lead, dn.n).astype(x.dtype)
 
 

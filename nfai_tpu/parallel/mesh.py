@@ -45,9 +45,14 @@ def make_mesh(
     total = int(np.prod(list(shape.values())))
     if total != n:
         raise ValueError(f"mesh shape {shape} needs {total} devices, have {n}")
-    dp, tp = shape[DP_AXIS], shape[TP_AXIS]
-    dev_array = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev_array, (DP_AXIS, TP_AXIS))
+    # axis order: dp, tp first (their relative ICI locality matters most),
+    # then any extra axes (e.g. "sp" for sequence parallelism) in the
+    # caller's order
+    names = [DP_AXIS, TP_AXIS] + [
+        k for k in shape if k not in (DP_AXIS, TP_AXIS)
+    ]
+    dev_array = np.asarray(devices).reshape([shape[k] for k in names])
+    return Mesh(dev_array, tuple(names))
 
 
 def named(mesh: Mesh, *spec) -> NamedSharding:

@@ -174,6 +174,15 @@ def kv_cache_sharding(mesh: Mesh, batch: int | None = None) -> NamedSharding:
     return NamedSharding(mesh, P(None, batch_axis, None, TP_AXIS))
 
 
+def kv_cache_sharding_sp(mesh: Mesh, axis: str = "sp") -> NamedSharding:
+    """[L, B, S, KVD] sharded over the SEQUENCE axis (sequence-parallel
+    engines, EngineConfig.seq_parallel): each chip holds an S/n slice of
+    every layer's cache — the layout parallel.seq_parallel reassembles
+    decode attention from. Weights stay replicated; max_seq_len must
+    divide the axis."""
+    return NamedSharding(mesh, P(None, None, axis, None))
+
+
 def token_sharding(mesh: Mesh) -> NamedSharding:
     """[B] / [B, T] token and position arrays — batch over dp."""
     return NamedSharding(mesh, P(DP_AXIS))

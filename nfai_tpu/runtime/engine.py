@@ -117,6 +117,35 @@ class InferenceEngine:
             self.mesh = make_mesh(self.config.mesh_shape)
             tp = self.mesh.shape[TP_AXIS]
             validate_tp(self.model_cfg, tp)
+            if self.config.seq_parallel:
+                sp = self.mesh.shape.get("sp", 1)
+                if sp <= 1:
+                    raise ValueError(
+                        "seq_parallel needs mesh_shape={'sp': n>1}"
+                    )
+                if self.config.max_seq_len % sp:
+                    raise ValueError(
+                        f"max_seq_len={self.config.max_seq_len} must divide "
+                        f"the sp axis ({sp})"
+                    )
+            if self.config.expert_parallel:
+                if not getattr(self.model_cfg, "n_experts", 0):
+                    raise ValueError("expert_parallel needs an MoE model")
+                if self.model_cfg.n_experts % tp:
+                    raise ValueError(
+                        f"n_experts={self.model_cfg.n_experts} must divide "
+                        f"tp={tp} for expert_parallel"
+                    )
+            if self.config.seq_parallel or self.config.expert_parallel:
+                # static fields so jit traces the SP/EP branches (the mesh
+                # objects ride the models.llama module context globals)
+                import dataclasses
+
+                self.model_cfg = dataclasses.replace(
+                    self.model_cfg,
+                    sp_axis="sp" if self.config.seq_parallel else "",
+                    ep_axis=TP_AXIS if self.config.expert_parallel else "",
+                )
             quantized = "auto" if self.config.param_dtype == "auto" else False
             # fuse=True under TP builds per-shard INTERLEAVED fused
             # projections (models.llama._fuse_projections_tp): each column
@@ -127,22 +156,43 @@ class InferenceEngine:
                 g, self.model_cfg, dtype=dtype, device_put=False, fuse=True,
                 quantized=quantized, tp=tp,
             )
-            self.params = jax.device_put(
-                params_np, llama_param_shardings(self.mesh, params_np)
-            )
+            shardings = llama_param_shardings(self.mesh, params_np)
+            if self.config.expert_parallel:
+                # expert stacks shard over their E axis instead of FFN:
+                # each chip's [E/tp, ...] slice is a standalone stacked
+                # container for the unchanged local grouped kernels
+                from ..parallel.expert_parallel import expert_shardings
+
+                espec = expert_shardings(self.mesh, stacked_layers=True)
+                for name in ("w_gate_exps", "w_up_exps", "w_down_exps"):
+                    if name in shardings["layers"]:
+                        shardings["layers"][name] = jax.tree.map(
+                            lambda _: espec, shardings["layers"][name]
+                        )
+            self.params = jax.device_put(params_np, shardings)
             # quantized matmuls run the Pallas kernels per-shard through
             # shard_map (ops.qmatmul.TP_MESH + QTensor.tp_mode); weights that
             # failed the per-shard layout check stay on the GSPMD dequant path
             from ..ops import qmatmul as _qm
+            from ..models import llama as _lm
 
-            _qm.TP_MESH = self.mesh
+            _qm.TP_MESH = self.mesh if tp > 1 else None
+            _lm.set_seq_parallel(
+                self.mesh, "sp" if self.config.seq_parallel else None
+            )
+            _lm.set_expert_parallel(
+                self.mesh, TP_AXIS if self.config.expert_parallel else None
+            )
         else:
             # single-device engine: clear any mesh a previous sharded
             # engine left in the module global, or quantized matmuls would
             # try to shard_map weights that are not tp-marked
+            from ..models import llama as _lm
             from ..ops import qmatmul as _qm
 
             _qm.TP_MESH = None
+            _lm.set_seq_parallel(None, None)
+            _lm.set_expert_parallel(None, None)
             # param_dtype="auto" keeps supported GGUF quantizations in HBM
             # (fused dequant-matmul kernels); anything else dequantizes
             quantized = "auto" if self.config.param_dtype == "auto" else False
@@ -181,8 +231,24 @@ class InferenceEngine:
         )
         if self.mesh is not None:
             from ..parallel import kv_cache_sharding
+            from ..parallel.sharding import kv_cache_sharding_sp
 
-            cache = jax.device_put(cache, kv_cache_sharding(self.mesh, batch))
+            if self.config.seq_parallel:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                kv = kv_cache_sharding_sp(self.mesh)
+                # int8 scales are [L, B, Hkv, S] time-minor: S is axis 3
+                sc = NamedSharding(self.mesh, P(None, None, None, "sp"))
+                cache = type(cache)(
+                    jax.device_put(cache.k, kv),
+                    jax.device_put(cache.v, kv),
+                    None if cache.ks is None else jax.device_put(cache.ks, sc),
+                    None if cache.vs is None else jax.device_put(cache.vs, sc),
+                )
+            else:
+                cache = jax.device_put(
+                    cache, kv_cache_sharding(self.mesh, batch)
+                )
         return cache
 
     def prefill(

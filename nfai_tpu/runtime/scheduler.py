@@ -182,6 +182,28 @@ class BatchEngine:
                 engine.model_cfg, n_pages, ps, engine.cache_dtype,
                 quantized=cfg.kv_dtype == "int8",
             )
+            if getattr(engine, "mesh", None) is not None:
+                # production TP layout for the shared pool: whole kv heads
+                # per shard ([L, Hkv, P, ps, D] -> Hkv over tp, same axis
+                # the dense cache shards its head-major KVD on); page axis
+                # replicated so every shard sees every block table row
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel import TP_AXIS
+
+                mesh = engine.mesh
+                kvspec = NamedSharding(
+                    mesh, P(None, TP_AXIS, None, None, None)
+                )
+                scspec = NamedSharding(mesh, P(None, TP_AXIS, None, None))
+                self.cache = type(self.cache)(
+                    jax.device_put(self.cache.k, kvspec),
+                    jax.device_put(self.cache.v, kvspec),
+                    None if self.cache.ks is None
+                    else jax.device_put(self.cache.ks, scspec),
+                    None if self.cache.vs is None
+                    else jax.device_put(self.cache.vs, scspec),
+                )
             log.info(
                 "paged KV pool: %d pages x %d tokens (%.1f MB%s)",
                 n_pages, ps,

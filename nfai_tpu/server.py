@@ -503,6 +503,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-seq", type=int, default=512)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mesh", default="",
+                   help="device mesh, e.g. 'dp=2,tp=4' (empty = 1 device)")
+    p.add_argument("--seq-parallel", action="store_true")
+    p.add_argument("--expert-parallel", action="store_true")
     args = p.parse_args(argv)
     from .utils.jax_setup import enable_persistent_cache
 
@@ -511,7 +515,14 @@ def main(argv=None) -> int:
         args.gguf,
         args.host,
         args.port,
-        EngineConfig(gguf_path=args.gguf, max_seq_len=args.max_seq, dtype=args.dtype),
+        EngineConfig(
+            gguf_path=args.gguf, max_seq_len=args.max_seq, dtype=args.dtype,
+            mesh_shape=__import__(
+                "nfai_tpu.cli", fromlist=["parse_mesh"]
+            ).parse_mesh(args.mesh),
+            seq_parallel=args.seq_parallel,
+            expert_parallel=args.expert_parallel,
+        ),
         args.max_batch,
     )
     try:

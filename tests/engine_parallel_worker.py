@@ -1,0 +1,110 @@
+"""Worker for tests/test_engine_parallel.py — engine-level SP/EP parity in
+a SUBPROCESS (same isolation rationale as ep_worker.py: shard_map programs
+on the virtual CPU mesh trip a latent XLA:CPU in-process compile bug that
+corrupts LATER unrelated compiles; bisected r4, documented there).
+
+What this proves that tests/test_seq_parallel.py / test_expert_parallel.py
+do not: the SP and EP paths are reachable from the PRODUCT — an
+`InferenceEngine` built with EngineConfig(seq_parallel=True) /
+(expert_parallel=True) prefills and decodes through the sharded layouts
+end-to-end (engine -> prefill_step/forward -> shard_map collectives) and
+matches the single-device engine's logits. VERDICT r4 item 4.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+
+from nfai_tpu.config import EngineConfig, SamplingParams  # noqa: E402
+from nfai_tpu.models.testing import make_tiny_llama_gguf  # noqa: E402
+from nfai_tpu.runtime.engine import InferenceEngine  # noqa: E402
+
+
+def greedy_tokens(engine, prompt, n):
+    s = SamplingParams(temperature=0.0, max_new_tokens=n)
+    return list(engine.generate(prompt, s))
+
+
+def logits_close(a, b, tol, what):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    dev = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
+    assert dev < tol, f"{what}: rel dev {dev}"
+    print(f"{what}: rel dev {dev:.2e} OK", flush=True)
+
+
+def check_sp(tmp):
+    path = make_tiny_llama_gguf(
+        os.path.join(tmp, "sp.gguf"), hidden=128, n_layers=2, n_heads=4,
+        n_kv_heads=2, ffn_dim=256, context_length=512,
+    )
+    prompt = list(range(7, 47))
+    base = InferenceEngine(path, EngineConfig(max_seq_len=256, dtype="float32"))
+    want_logits, _ = base.prefill(base.new_cache(1), prompt)
+    want = greedy_tokens(base, prompt, 8)
+
+    sp = InferenceEngine(
+        path,
+        EngineConfig(
+            max_seq_len=256, dtype="float32",
+            mesh_shape={"sp": 8}, seq_parallel=True,
+        ),
+    )
+    assert sp.model_cfg.sp_axis == "sp"
+    got_logits, _ = sp.prefill(sp.new_cache(1), prompt)
+    logits_close(got_logits, want_logits, 2e-4, "sp prefill logits")
+    got = greedy_tokens(sp, prompt, 8)
+    assert got == want, f"sp greedy {got} != {want}"
+    print(f"sp greedy tokens match: {got}", flush=True)
+
+
+def check_ep(tmp):
+    path = make_tiny_llama_gguf(
+        os.path.join(tmp, "ep.gguf"), hidden=128, n_layers=2, n_heads=4,
+        n_kv_heads=4, ffn_dim=128, context_length=512,
+        n_experts=8, n_experts_used=2,
+    )
+    prompt = list(range(9, 41))
+    base = InferenceEngine(path, EngineConfig(max_seq_len=256, dtype="float32"))
+    want_logits, _ = base.prefill(base.new_cache(1), prompt)
+    want = greedy_tokens(base, prompt, 8)
+
+    ep = InferenceEngine(
+        path,
+        EngineConfig(
+            max_seq_len=256, dtype="float32",
+            mesh_shape={"dp": 2, "tp": 4}, expert_parallel=True,
+        ),
+    )
+    assert ep.model_cfg.ep_axis == "tp"
+    got_logits, _ = ep.prefill(ep.new_cache(1), prompt)
+    logits_close(got_logits, want_logits, 2e-4, "ep prefill logits")
+    got = greedy_tokens(ep, prompt, 8)
+    assert got == want, f"ep greedy {got} != {want}"
+    print(f"ep greedy tokens match: {got}", flush=True)
+
+
+def main():
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        check_sp(tmp)
+        check_ep(tmp)
+    print("ENGINE-PARALLEL-OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -511,7 +511,10 @@ def to_v3(qt: QTensor, merge_bytes: int | None = None) -> QTensor:
 # gate_up's 67 MB size were never staged, so merging the two 33.5 MB
 # arrays past that threshold removes the copies entirely (and halves the
 # scale-operand DMA count per grid step as a bonus).
-V3_MERGE_BYTES = 32 << 20
+V3_MERGE_BYTES = int(
+    os.environ.get("NFAI_V3_MERGE_BYTES", str(32 << 20))
+)  # A/B knob: 0 merges every v3 container (halves per-cell scale DMAs —
+# the "separate mins DMA" term of the 8B wqkv/wo anatomy, r4)
 
 
 def to_v3_stacked(qt: QTensor, merge_bytes: int | None = None) -> QTensor:

@@ -28,9 +28,18 @@ minimal repro is load-dependent: `python -m pytest tests/` with the
 three worker files' checks inlined in-process reproduces; this script
 alone does not. The mitigation in-tree remains process isolation
 (tests/sp_worker.py, ep_worker.py, specsample_worker.py,
-engine_parallel_worker.py); a jaxlib upgrade cannot be attempted on this
-image (no package installs). When a newer jaxlib lands, re-run the
-inlined-suite experiment before folding the workers back in.
+engine_parallel_worker.py, test_mesh_workers.py); a jaxlib upgrade cannot
+be attempted on this image (no package installs). When a newer jaxlib
+lands, re-run the inlined-suite experiment before folding the workers
+back in.
+
+SECOND FAILURE MODE (r5): with the r5 mesh-heavy engine tests
+(scheduler-under-TP, pipeline stage split) compiled in-process, the full
+suite's later fresh pjit compile (test_spec_fused's ngram path) HANGS
+inside _cached_compilation instead of segfaulting — reproducibly at the
+same ~90% mark, twice, while every involved file passes in isolation and
+in pairs. Same accumulated-load dependence, new symptom; those tests now
+also run in a subprocess (tests/test_mesh_workers.py).
 """
 import os
 import sys

@@ -70,6 +70,21 @@ def check_sp(tmp):
     assert got == want, f"sp greedy {got} != {want}"
     print(f"sp greedy tokens match: {got}", flush=True)
 
+    # int8 KV + SP: the sp_decode_attention branch requires f-cache
+    # scales=None, so the quantized cache falls to the GSPMD-partitioned
+    # einsum path — must still compile and stay close to the bf16 run
+    sp8 = InferenceEngine(
+        path,
+        EngineConfig(
+            max_seq_len=256, dtype="float32",
+            mesh_shape={"sp": 8}, seq_parallel=True, kv_dtype="int8",
+        ),
+    )
+    got8_logits, _ = sp8.prefill(sp8.new_cache(1), prompt)
+    logits_close(got8_logits, want_logits, 5e-2, "sp int8-kv prefill logits")
+    got8 = greedy_tokens(sp8, prompt, 4)
+    print(f"sp int8-kv greedy: {got8} (bf16: {want[:4]})", flush=True)
+
 
 def check_ep(tmp):
     path = make_tiny_llama_gguf(
